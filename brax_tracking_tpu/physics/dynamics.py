@@ -1,0 +1,93 @@
+"""Mass matrix (CRB), factorization, and bias forces (RNE) — level-vectorized.
+
+TPU design notes:
+- The mass matrix is built **dense** with one (nv,6)x(6,nv) matmul plus a
+  static ancestor mask — batched over envs this is MXU work, unlike
+  MuJoCo's sparse LTL path which is pointer-chasing.
+- Tree accumulations (composite inertias, force backprop) run one
+  scatter-add per tree level using the static Plan, so the traced graph is
+  O(depth).
+- Factorization is a batched dense Cholesky (nv is 36-73 for the target
+  models); XLA batches it across envs.
+Semantics match mj_crb / mj_factorM / mj_rne (validated vs the C oracle).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from brax_tracking_tpu import math as btm
+from brax_tracking_tpu.math.spatial import SpatialInertia, inert_mul
+from brax_tracking_tpu.physics import model as M
+
+
+def crb(m: M.Model, d: M.Data) -> M.Data:
+    """Composite-rigid-body mass matrix, dense."""
+    dtype = d.qpos.dtype
+    if m.nv == 0:
+        return d.replace(qM=jnp.zeros((0, 0), dtype))
+
+    ci, ch = d.cinert_i, d.cinert_h
+    cm = m.body_mass.astype(dtype)
+    for lev in reversed(m.plan.levels):
+        ci = ci.at[lev.parents].add(ci[lev.bodies])
+        ch = ch.at[lev.parents].add(ch[lev.bodies])
+        cm = cm.at[lev.parents].add(cm[lev.bodies])
+
+    dofb = np.asarray(m.dof_bodyid)
+    f = inert_mul(SpatialInertia(ci[dofb], ch[dofb], cm[dofb]), d.cdof)  # (nv, 6)
+
+    # qM[i, j] = cdof_j . f_i on the ancestor sparsity; symmetrize
+    mask = jnp.asarray(m.dof_ancestor_mask)
+    full = f @ d.cdof.T
+    lower = jnp.where(mask, full, 0.0)
+    qM = lower + lower.T - jnp.diag(jnp.diag(lower))
+    qM = qM + jnp.diag(m.dof_armature.astype(dtype))
+    return d.replace(qM=qM)
+
+
+def factor_m(m: M.Model, d: M.Data) -> M.Data:
+    """Dense Cholesky factor of qM (batched over envs by the outer vmap)."""
+    qLD = jax.scipy.linalg.cholesky(d.qM, lower=True)
+    return d.replace(qLD=qLD)
+
+
+def solve_m(m: M.Model, d: M.Data, rhs: jax.Array) -> jax.Array:
+    """Solves qM x = rhs using the cached Cholesky factor.
+
+    rhs may be (nv,) or (nv, k).
+    """
+    vec = rhs.ndim == 1
+    b = rhs[:, None] if vec else rhs
+    y = jax.scipy.linalg.solve_triangular(d.qLD, b, lower=True)
+    x = jax.scipy.linalg.solve_triangular(d.qLD.T, y, lower=False)
+    return x[:, 0] if vec else x
+
+
+def rne(m: M.Model, d: M.Data) -> M.Data:
+    """Recursive Newton-Euler: qfrc_bias = C(qpos, qvel) (gravity included)."""
+    dtype = d.qpos.dtype
+    if m.nv == 0:
+        return d.replace(qfrc_bias=jnp.zeros(0, dtype))
+    gravity = m.opt.gravity.astype(dtype)
+    cacc0 = jnp.concatenate([jnp.zeros(3, dtype), -gravity])
+
+    dof_acc = jax.ops.segment_sum(
+        d.cdof_dot * d.qvel[:, None], np.asarray(m.dof_bodyid), m.nbody
+    )
+    cacc = jnp.tile(cacc0, (m.nbody, 1))
+    for lev in m.plan.levels:
+        cacc = cacc.at[lev.bodies].set(cacc[lev.parents] + dof_acc[lev.bodies])
+
+    inert = SpatialInertia(d.cinert_i, d.cinert_h, m.body_mass.astype(dtype))
+    fv = inert_mul(inert, d.cvel)
+    cfrc = inert_mul(inert, cacc) + btm.motion_cross_force(d.cvel, fv)
+    cfrc = cfrc.at[0].set(0.0)
+
+    for lev in reversed(m.plan.levels):
+        cfrc = cfrc.at[lev.parents].add(cfrc[lev.bodies])
+
+    qfrc_bias = jnp.einsum("ij,ij->i", d.cdof, cfrc[m.dof_bodyid])
+    return d.replace(qfrc_bias=qfrc_bias)

@@ -1,0 +1,119 @@
+"""Fused forward dynamics and integration entry points.
+
+``forward`` mirrors mj_forward's stage order; ``step`` adds semi-implicit
+Euler integration (with MuJoCo's implicit joint-damping treatment). Both
+operate on a single env; the env layer vmaps and scans substeps.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from brax_tracking_tpu.physics import model as M
+from brax_tracking_tpu.physics import kinematics as K
+
+
+def make_data(m: M.Model, dtype=None) -> M.Data:
+    """Fresh Data at qpos0, zero velocity."""
+    dtype = dtype or m.qpos0.dtype
+    d = M.Data(
+        qpos=m.qpos0.astype(dtype),
+        qvel=jnp.zeros(m.nv, dtype),
+        act=jnp.zeros(m.na, dtype),
+        time=jnp.zeros((), dtype),
+        ctrl=jnp.zeros(m.nu, dtype),
+    )
+    return d
+
+
+def fwd_position_smooth(m: M.Model, d: M.Data) -> M.Data:
+    """Position-stage smooth pipeline (no collision yet)."""
+    d = K.kinematics(m, d)
+    d = K.com_pos(m, d)
+    d = K.tendon(m, d)
+    return d
+
+
+def fwd_velocity_smooth(m: M.Model, d: M.Data) -> M.Data:
+    d = K.com_vel(m, d)
+    return d
+
+
+def forward(m: M.Model, d: M.Data) -> M.Data:
+    """Full forward dynamics at the current state. Built up stage by stage;
+    see dynamics/constraint/solver modules."""
+    from brax_tracking_tpu.physics import dynamics as D
+    from brax_tracking_tpu.physics import passive as P
+    from brax_tracking_tpu.physics import actuation as A
+    from brax_tracking_tpu.physics import collision as C
+    from brax_tracking_tpu.physics import constraint as Cn
+    from brax_tracking_tpu.physics import solver as S
+    from brax_tracking_tpu.physics import sensor as Sn
+
+    d = fwd_position_smooth(m, d)
+    d = C.collision(m, d)
+    d = D.crb(m, d)
+    d = D.factor_m(m, d)
+    d = fwd_velocity_smooth(m, d)
+    d = P.passive(m, d)
+    d = D.rne(m, d)
+    d = A.fwd_actuation(m, d)
+    # smooth acceleration
+    qfrc_smooth = d.qfrc_passive - d.qfrc_bias + d.qfrc_actuator
+    qacc_smooth = D.solve_m(m, d, qfrc_smooth)
+    d = d.replace(qfrc_smooth=qfrc_smooth, qacc_smooth=qacc_smooth)
+    # constraints
+    d = Cn.make_constraint(m, d)
+    d = S.solve(m, d)
+    d = Sn.sensors(m, d)
+    return d
+
+
+def _integrate_pos(m: M.Model, qpos: jax.Array, qvel: jax.Array, dt) -> jax.Array:
+    """mj_integratePos: joint-type-aware position integration."""
+    from brax_tracking_tpu import math as btm
+
+    out = qpos
+    for jid in range(m.njnt):
+        jtype = int(m.jnt_type[jid])
+        qadr = int(m.jnt_qposadr[jid])
+        dadr = int(m.jnt_dofadr[jid])
+        if jtype == M.JNT_FREE:
+            out = out.at[qadr : qadr + 3].add(dt * qvel[dadr : dadr + 3])
+            q = btm.quat_integrate(
+                qpos[qadr + 3 : qadr + 7], qvel[dadr + 3 : dadr + 6], dt
+            )
+            out = out.at[qadr + 3 : qadr + 7].set(q)
+        elif jtype == M.JNT_BALL:
+            q = btm.quat_integrate(qpos[qadr : qadr + 4], qvel[dadr : dadr + 3], dt)
+            out = out.at[qadr : qadr + 4].set(q)
+        else:
+            out = out.at[qadr].add(dt * qvel[dadr])
+    return out
+
+
+def step(m: M.Model, d: M.Data) -> M.Data:
+    """One physics step: forward dynamics + semi-implicit Euler.
+
+    Matches MuJoCo's Euler integrator: joint damping is integrated
+    implicitly by solving (M + h diag(damping)) v' = M v + h f_total.
+    """
+    d = forward(m, d)
+    dt = m.opt.timestep.astype(d.qpos.dtype)
+
+    if m.has_damping:
+        # Implicit joint damping (MuJoCo Euler): damping already contributes
+        # -B v_t inside qfrc_smooth, so the implicit velocity update is
+        #   v' = v + h (M + hB)^-1 (qfrc_smooth + qfrc_constraint).
+        qfrc = d.qfrc_smooth + d.qfrc_constraint
+        mh = d.qM + dt * jnp.diag(m.dof_damping.astype(d.qpos.dtype))
+        lh = jax.scipy.linalg.cho_factor(mh)
+        qvel_new = d.qvel + dt * jax.scipy.linalg.cho_solve(lh, qfrc)
+    else:
+        qvel_new = d.qvel + dt * d.qacc
+
+    qpos_new = _integrate_pos(m, d.qpos, qvel_new, dt)
+    # act integration (filter dynamics)
+    act_new = d.act + dt * d.act_dot if m.na else d.act
+    return d.replace(qpos=qpos_new, qvel=qvel_new, act=act_new, time=d.time + dt)
