@@ -1,0 +1,169 @@
+"""Reference-clip preprocessing: mocap qpos -> tracking features.
+
+Capability parity with /root/reference/preprocessing/preprocess.py:23-230:
+slice a stac qpos trajectory, run forward kinematics per frame to extract
+body positions/quaternions, finite-difference velocities (quaternion-diff ->
+axis-angle for the root angular rate), clip joint velocities.
+
+TPU-first differences:
+- FK runs through *our* engine's kinematics under one lax.scan (the
+  reference scans MJX kinematics, preprocess.py:144-171).
+- The per-frame Python loop the reference uses for angular velocities
+  (preprocess.py:222-228) is a single batched quaternion op here.
+- Multi-clip: stacking many clips into one leading axis is first-class
+  (the reference's RodentMultiClip was an unimplemented stub, rodent.py:377).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from brax_tracking_tpu import math as btm
+from brax_tracking_tpu.physics import model as M
+import brax_tracking_tpu.physics.kinematics as K
+import brax_tracking_tpu.physics.step as pstep
+
+
+@struct.dataclass
+class ReferenceClip:
+    """Per-frame tracking targets (leading axes: [clip,] frame).
+
+    Field semantics follow the reference struct (preprocess.py:23-41).
+    """
+
+    # qpos split
+    position: Optional[jax.Array] = None  # (T, 3) free-joint translation
+    quaternion: Optional[jax.Array] = None  # (T, 4) free-joint orientation
+    joints: Optional[jax.Array] = None  # (T, nq-7) or (T, nq) if tethered
+    # world-frame features from FK
+    body_positions: Optional[jax.Array] = None  # (T, nbody, 3)
+    body_quaternions: Optional[jax.Array] = None  # (T, nbody, 4)
+    # finite-difference velocities
+    velocity: Optional[jax.Array] = None  # (T, 3)
+    angular_velocity: Optional[jax.Array] = None  # (T, 3)
+    joints_velocity: Optional[jax.Array] = None  # (T, nq-7)
+
+
+def extract_features(m: M.Model, mocap_qpos: jax.Array) -> ReferenceClip:
+    """FK over all frames under one scan; fills the pose-derived fields."""
+    d0 = pstep.make_data(m, dtype=mocap_qpos.dtype)
+
+    def f(d, qpos):
+        d = d.replace(qpos=qpos, qvel=jnp.zeros_like(d.qvel))
+        d = K.kinematics(m, d)
+        return d, (d.xpos, d.xquat)
+
+    _, (xpos, xquat) = jax.lax.scan(f, d0, mocap_qpos)
+    free_root = m.njnt > 0 and m.jnt_type[0] == M.JNT_FREE
+    if free_root:
+        return ReferenceClip(
+            position=mocap_qpos[:, :3],
+            quaternion=mocap_qpos[:, 3:7],
+            joints=mocap_qpos[:, 7:],
+            body_positions=xpos,
+            body_quaternions=xquat,
+        )
+    return ReferenceClip(
+        position=None,
+        quaternion=None,
+        joints=mocap_qpos,
+        body_positions=xpos,
+        body_quaternions=xquat,
+    )
+
+
+def compute_velocity_from_kinematics(
+    qpos_trajectory: jax.Array, dt: float
+) -> jax.Array:
+    """Finite-difference generalized velocities for a free-root trajectory.
+
+    Matches preprocess.py:207-230 (batched: no per-frame Python loop).
+    """
+    qvel_translation = (qpos_trajectory[1:, :3] - qpos_trajectory[:-1, :3]) / dt
+    diff = btm.quat_diff(qpos_trajectory[:-1, 3:7], qpos_trajectory[1:, 3:7])
+    diff = diff / jnp.linalg.norm(diff, axis=-1, keepdims=True)
+    qvel_gyro = btm.quat_to_axis_angle(diff) / dt
+    qvel_joints = (qpos_trajectory[1:, 7:] - qpos_trajectory[:-1, 7:]) / dt
+    return jnp.concatenate([qvel_translation, qvel_gyro, qvel_joints], axis=1)
+
+
+def process_clip(
+    m: M.Model,
+    mocap_qpos: jax.Array,
+    max_qvel: float = 20.0,
+    dt: float = 0.02,
+) -> ReferenceClip:
+    """One clip: features + velocities (reference preprocess.py:99-141)."""
+    clip = extract_features(m, mocap_qpos)
+    # pad last frame so velocities have T entries
+    mocap_qpos = jnp.concatenate([mocap_qpos, mocap_qpos[-1:]], axis=0)
+    # tethered models get 6 zero root-velocity columns prepended
+    if m.njnt == 0 or m.jnt_type[0] != M.JNT_FREE:
+        mocap_qpos = jnp.concatenate(
+            [jnp.zeros((mocap_qpos.shape[0], 7), mocap_qpos.dtype), mocap_qpos],
+            axis=1,
+        )
+        # fake identity quaternion for the root diff
+        mocap_qpos = mocap_qpos.at[:, 3].set(1.0)
+    qvel = compute_velocity_from_kinematics(mocap_qpos, dt)
+    joints_vel = jnp.clip(qvel[:, 6:], -max_qvel, max_qvel)
+    return clip.replace(
+        velocity=qvel[:, :3],
+        angular_velocity=qvel[:, 3:6],
+        joints_velocity=joints_vel,
+    )
+
+
+def load_stac_qpos(stac_path: str) -> np.ndarray:
+    """Loads a stac mocap qpos array from .h5 or pickle."""
+    _, ext = os.path.splitext(stac_path)
+    if ext == ".h5":
+        from brax_tracking_tpu.data import h5io
+
+        data = h5io.load(stac_path)
+        return np.asarray(data["qpos"])
+    with open(stac_path, "rb") as f:
+        return np.asarray(pickle.load(f)["qpos"])
+
+
+def process_clip_to_train(
+    stac_path: str,
+    m: M.Model,
+    start_step: int = 0,
+    clip_length: int = 250,
+    max_qvel: float = 20.0,
+    dt: float = 0.02,
+) -> ReferenceClip:
+    """End-to-end: stac file -> ReferenceClip (preprocess.py:44-96).
+
+    Unlike the reference, the compiled Model is passed in (the offline
+    compile with rescaling already happened via physics.spec.build_model).
+    """
+    mocap_qpos = load_stac_qpos(stac_path)[start_step : start_step + clip_length]
+    return process_clip(m, jnp.asarray(mocap_qpos), max_qvel=max_qvel, dt=dt)
+
+
+def stack_clips(clips: Sequence[ReferenceClip]) -> ReferenceClip:
+    """Stacks single clips into a multi-clip dataset (leading clip axis)."""
+
+    def stack(*xs):
+        return None if xs[0] is None else jnp.stack(xs)
+
+    return jax.tree.map(stack, *clips, is_leaf=lambda x: x is None)
+
+
+def save_clip(path: str, clip: ReferenceClip) -> None:
+    with open(path, "wb") as f:
+        pickle.dump(jax.device_get(clip), f)
+
+
+def load_clip(path: str) -> ReferenceClip:
+    with open(path, "rb") as f:
+        return pickle.load(f)

@@ -1,0 +1,293 @@
+"""Constraint row assembly: joint limits + contacts (pyramidal & elliptic).
+
+Builds the efc_* arrays (jacobian, reference acceleration, inverse
+constraint mass) the solver consumes, with a **static row layout**: every
+candidate constraint always owns its rows; activation is runtime masking
+(mirrors how MJX keeps shapes static, and is what lets the whole step
+compile once).
+
+Semantics follow MuJoCo's computation spec (solref/solimp -> KBI, pyramidal
+cone rows mu*Jn +- Jt, elliptic cone rows [Jn; Jt]); coefficients are
+validated row-by-row against the C oracle in tests/test_physics_constraint.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from brax_tracking_tpu.physics import model as M
+
+# efc row types
+ROW_LIMIT, ROW_CON_NORMAL, ROW_CON_FRICTION, ROW_CON_PYRAMID = 0, 1, 2, 3
+
+
+@dataclass(frozen=True)
+class EfcLayout:
+    """Static efc row metadata (built per model, compile-time constant)."""
+
+    nefc: int
+    row_type: np.ndarray  # (nefc,)
+    row_con: np.ndarray  # (nefc,) contact slot id or -1
+    row_fdim: np.ndarray  # (nefc,) friction dim index (elliptic) / pyramid idx
+    limit_jnt: np.ndarray  # limited joint ids, in row order
+    limit_rows: np.ndarray  # row index of each limit row
+    con_rows: np.ndarray  # (ncon,) first row of each contact slot (-1 if none)
+    con_dim: np.ndarray  # (ncon,) condim per slot
+    con_pair: np.ndarray  # (ncon,) pair index per slot
+    con_geom1: np.ndarray
+    con_geom2: np.ndarray
+
+
+def efc_layout(m: M.Model) -> EfcLayout:
+    limited = np.nonzero(np.asarray(m.jnt_limited))[0]
+    for j in limited:
+        if m.jnt_type[j] not in (M.JNT_HINGE, M.JNT_SLIDE):
+            raise NotImplementedError("ball/free joint limits")
+    rows_type, rows_con, rows_fdim = [], [], []
+    limit_rows = []
+    for j in limited:
+        limit_rows.append(len(rows_type))
+        rows_type.append(ROW_LIMIT)
+        rows_con.append(-1)
+        rows_fdim.append(0)
+
+    pairs = m.pairs
+    ncon = m.ncon
+    con_rows = np.full(ncon, -1, np.int32)
+    con_dim = np.zeros(ncon, np.int32)
+    con_pair = np.zeros(ncon, np.int32)
+    con_g1 = np.zeros(ncon, np.int32)
+    con_g2 = np.zeros(ncon, np.int32)
+    slot = 0
+    elliptic = m.opt.cone == M.CONE_ELLIPTIC
+    for p in range(len(pairs.geom1)):
+        dim = int(pairs.condim[p])
+        for _ in range(int(pairs.npoint[p])):
+            con_rows[slot] = len(rows_type)
+            con_dim[slot] = dim
+            con_pair[slot] = p
+            con_g1[slot] = pairs.geom1[p]
+            con_g2[slot] = pairs.geom2[p]
+            if dim == 1:
+                rows_type.append(ROW_CON_NORMAL)
+                rows_con.append(slot)
+                rows_fdim.append(0)
+            elif elliptic:
+                for k in range(dim):
+                    rows_type.append(ROW_CON_NORMAL if k == 0 else ROW_CON_FRICTION)
+                    rows_con.append(slot)
+                    rows_fdim.append(k)
+            else:
+                for k in range(2 * (dim - 1)):
+                    rows_type.append(ROW_CON_PYRAMID)
+                    rows_con.append(slot)
+                    rows_fdim.append(k)
+            slot += 1
+
+    return EfcLayout(
+        nefc=len(rows_type),
+        row_type=np.array(rows_type, np.int32),
+        row_con=np.array(rows_con, np.int32),
+        row_fdim=np.array(rows_fdim, np.int32),
+        limit_jnt=limited.astype(np.int32),
+        limit_rows=np.array(limit_rows, np.int32),
+        con_rows=con_rows,
+        con_dim=con_dim,
+        con_pair=con_pair,
+        con_geom1=con_g1,
+        con_geom2=con_g2,
+    )
+
+
+def _kbi(m: M.Model, solref, solimp, pos, dtype):
+    """solref/solimp -> (stiffness*imp, damping, imp) per row.
+
+    pos is the constraint violation r = efc_pos - margin (<= 0 when active).
+    Returns aref position/velocity coefficients and the impedance.
+    """
+    timeconst = solref[..., 0]
+    dampratio = solref[..., 1]
+    dmin, dmax = solimp[..., 0], solimp[..., 1]
+    width = jnp.maximum(solimp[..., 2], M.MINVAL)
+    mid = jnp.clip(solimp[..., 3], 0.0001, 0.9999)
+    power = jnp.maximum(solimp[..., 4], 1.0)
+
+    # impedance sigmoid
+    x = jnp.clip(jnp.abs(pos) / width, 0.0, 1.0)
+    a = 1.0 / jnp.power(mid, power - 1)
+    b = 1.0 / jnp.power(1 - mid, power - 1)
+    y = jnp.where(
+        x <= mid, a * jnp.power(x, power), 1 - b * jnp.power(1 - x, power)
+    )
+    imp = dmin + y * (dmax - dmin)
+    imp = jnp.clip(imp, dmin, dmax)
+    imp = jnp.clip(imp, M.MINVAL, 1 - M.MINVAL)
+
+    # stiffness/damping
+    dt = m.opt.timestep.astype(dtype)
+    tc = jnp.maximum(timeconst, 2 * dt)
+    k_std = 1.0 / jnp.maximum(dmax * dmax * tc * tc * dampratio * dampratio, M.MINVAL)
+    b_std = 2.0 / jnp.maximum(dmax * tc, M.MINVAL)
+    direct = solref[..., 0] <= 0
+    k = jnp.where(direct, -solref[..., 0] / jnp.maximum(dmax * dmax, M.MINVAL), k_std)
+    b = jnp.where(direct, -solref[..., 1] / jnp.maximum(dmax, M.MINVAL), b_std)
+    return k, b, imp
+
+
+def _contact_jac(m: M.Model, d: M.Data, layout: EfcLayout):
+    """Translational jacobian difference at each contact point: (ncon, 3, nv)."""
+    dtype = d.qpos.dtype
+    b1 = m.geom_bodyid[layout.con_geom1]
+    b2 = m.geom_bodyid[layout.con_geom2]
+    mask1 = jnp.asarray(m.body_dof_mask[b1], dtype)  # (ncon, nv)
+    mask2 = jnp.asarray(m.body_dof_mask[b2], dtype)
+    # c-frame origins per dof: subtree_com of the dof's tree root
+    com = d.subtree_com[m.body_rootid[m.dof_bodyid]]  # (nv, 3)
+    ang = d.cdof[:, :3]  # (nv, 3)
+    lin = d.cdof[:, 3:]
+    # jacp[:, v] at point p = lin_v + ang_v x (p - com_v)
+    p = d.contact_pos  # (ncon, 3)
+    offset = p[:, None, :] - com[None, :, :]  # (ncon, nv, 3)
+    jacp = lin[None] + jnp.cross(jnp.broadcast_to(ang[None], offset.shape), offset, axis=-1)
+    # difference: body2 minus body1 (normal points g1 -> g2)
+    jdiff = jacp * (mask2 - mask1)[..., None]  # (ncon, nv, 3)
+    # project on frame rows -> (ncon, 3, nv)
+    return jnp.einsum("cvk,cnk->cnv", jdiff, d.contact_frame)
+
+
+def make_constraint(m: M.Model, d: M.Data) -> M.Data:
+    """Assembles efc_J / efc_D / efc_aref / efc_pos and activity predicates."""
+    dtype = d.qpos.dtype
+    layout = efc_layout(m)
+    nefc, nv = layout.nefc, m.nv
+    if nefc == 0:
+        return d.replace(
+            efc_J=jnp.zeros((0, nv), dtype),
+            efc_D=jnp.zeros(0, dtype),
+            efc_aref=jnp.zeros(0, dtype),
+            efc_pos=jnp.zeros(0, dtype),
+            efc_margin=jnp.zeros(0, dtype),
+        )
+
+    efc_J = jnp.zeros((nefc, nv), dtype)
+    efc_D = jnp.zeros(nefc, dtype)
+    efc_aref = jnp.zeros(nefc, dtype)
+    efc_pos = jnp.zeros(nefc, dtype)
+    efc_margin = jnp.zeros(nefc, dtype)
+
+    # ---------------- joint limits ----------------
+    if layout.limit_jnt.size:
+        jids = layout.limit_jnt
+        qadr = m.jnt_qposadr[jids]
+        dadr = m.jnt_dofadr[jids]
+        lo = m.jnt_range[jids, 0].astype(dtype)
+        hi = m.jnt_range[jids, 1].astype(dtype)
+        qp = d.qpos[qadr]
+        dist_lo = qp - lo
+        dist_hi = hi - qp
+        use_lo = dist_lo <= dist_hi
+        dist = jnp.where(use_lo, dist_lo, dist_hi)
+        sign = jnp.where(use_lo, 1.0, -1.0).astype(dtype)
+        margin = m.jnt_margin[jids].astype(dtype)
+        k, b, imp = _kbi(
+            m,
+            m.jnt_solref[jids].astype(dtype),
+            m.jnt_solimp[jids].astype(dtype),
+            dist - margin,
+            dtype,
+        )
+        jvel = sign * d.qvel[dadr]
+        aref = -b * jvel - k * imp * (dist - margin)
+        invweight = m.dof_invweight0[dadr].astype(dtype)
+        r = jnp.maximum((1 - imp) / imp * invweight, M.MINVAL)
+        rows = layout.limit_rows
+        efc_J = efc_J.at[rows, dadr].set(sign)
+        efc_D = efc_D.at[rows].set(1.0 / r)
+        efc_aref = efc_aref.at[rows].set(aref)
+        efc_pos = efc_pos.at[rows].set(dist)
+        efc_margin = efc_margin.at[rows].set(margin)
+
+    # ---------------- contacts ----------------
+    ncon = m.ncon
+    if ncon:
+        pairs = m.pairs
+        cp = layout.con_pair
+        jac = _contact_jac(m, d, layout)  # (ncon, 3, nv) rows: n, t1, t2
+        friction = pairs.friction[cp].astype(dtype)  # (ncon, 5)
+        solref = pairs.solref[cp].astype(dtype)
+        solimp = pairs.solimp[cp].astype(dtype)
+        margin = pairs.margin[cp].astype(dtype)
+        gap = pairs.gap[cp].astype(dtype)
+        includemargin = margin  # oracle (mujoco 3.10): gap does not subtract
+        dist = d.contact_dist
+        pos_r = dist - includemargin
+        k, b, imp = _kbi(m, solref, solimp, pos_r, dtype)
+        b1 = m.geom_bodyid[layout.con_geom1]
+        b2 = m.geom_bodyid[layout.con_geom2]
+        invweight = (
+            m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]
+        ).astype(dtype)
+        impratio = m.opt.impratio.astype(dtype)
+
+        jvel = jnp.einsum("cnv,v->cn", jac, d.qvel)  # (ncon, 3)
+
+        elliptic = m.opt.cone == M.CONE_ELLIPTIC
+        for slot in range(ncon):
+            row0 = int(layout.con_rows[slot])
+            dim = int(layout.con_dim[slot])
+            mu = friction[slot, 0]
+            if dim == 1 or elliptic:
+                # normal row
+                aref_n = -b[slot] * jvel[slot, 0] - k[slot] * imp[slot] * pos_r[slot]
+                r_n = jnp.maximum((1 - imp[slot]) / imp[slot] * invweight[slot], M.MINVAL)
+                efc_J = efc_J.at[row0].set(jac[slot, 0])
+                efc_D = efc_D.at[row0].set(1.0 / r_n)
+                efc_aref = efc_aref.at[row0].set(aref_n)
+                efc_pos = efc_pos.at[row0].set(dist[slot])
+                efc_margin = efc_margin.at[row0].set(includemargin[slot])
+                # elliptic friction rows
+                for i in range(1, dim):
+                    fr = friction[slot, i]
+                    invw_f = invweight[slot] / impratio * (mu / fr) ** 2 * (mu * mu)
+                    # friction rows: velocity-only reference
+                    aref_f = -b[slot] * jvel[slot, i]
+                    r_f = jnp.maximum(
+                        (1 - imp[slot]) / imp[slot] * invweight[slot] / impratio,
+                        M.MINVAL,
+                    )
+                    efc_J = efc_J.at[row0 + i].set(jac[slot, i])
+                    efc_D = efc_D.at[row0 + i].set(1.0 / r_f)
+                    efc_aref = efc_aref.at[row0 + i].set(aref_f)
+                    efc_pos = efc_pos.at[row0 + i].set(dist[slot])
+                    efc_margin = efc_margin.at[row0 + i].set(includemargin[slot])
+            else:
+                # pyramidal: rows Jn +- mu_i*Jt_i (order +t1,-t1,+t2,-t2)
+                for i in range(dim - 1):
+                    mu_i = friction[slot, i]
+                    for s_i, sgn in enumerate((1.0, -1.0)):
+                        row = row0 + 2 * i + s_i
+                        jrow = jac[slot, 0] + sgn * mu_i * jac[slot, i + 1]
+                        vel = jvel[slot, 0] + sgn * mu_i * jvel[slot, i + 1]
+                        aref_p = -b[slot] * vel - k[slot] * imp[slot] * pos_r[slot]
+                        invw_p = 2 * mu_i * mu_i * (1 + mu_i * mu_i) * invweight[slot]
+                        r_p = jnp.maximum(
+                            (1 - imp[slot]) / imp[slot] * invw_p, M.MINVAL
+                        )
+                        efc_J = efc_J.at[row].set(jrow)
+                        efc_D = efc_D.at[row].set(1.0 / r_p)
+                        efc_aref = efc_aref.at[row].set(aref_p)
+                        efc_pos = efc_pos.at[row].set(dist[slot])
+                        efc_margin = efc_margin.at[row].set(includemargin[slot])
+
+    return d.replace(
+        efc_J=efc_J,
+        efc_D=efc_D,
+        efc_aref=efc_aref,
+        efc_pos=efc_pos,
+        efc_margin=efc_margin,
+    )

@@ -69,6 +69,8 @@ class Option:
     impratio: jax.Array  # friction-to-normal impedance ratio
     tolerance: jax.Array  # solver early-exit tolerance
     ls_tolerance: jax.Array  # line-search tolerance
+    # --- traced derived stats ---
+    meaninertia: jax.Array = None  # mjStatistic.meaninertia (solver scaling)
     # --- static control flow ---
     integrator: int = _static(default=INT_EULER)
     cone: int = _static(default=CONE_PYRAMIDAL)
@@ -267,6 +269,12 @@ class Data:
     contact_dist: jax.Array = None  # (ncon,)
     contact_pos: jax.Array = None  # (ncon, 3)
     contact_frame: jax.Array = None  # (ncon, 3, 3) rows: normal, tan1, tan2
+    # constraint rows (static layout; see constraint.efc_layout)
+    efc_J: jax.Array = None  # (nefc, nv)
+    efc_D: jax.Array = None  # (nefc,)
+    efc_aref: jax.Array = None  # (nefc,)
+    efc_pos: jax.Array = None  # (nefc,)
+    efc_margin: jax.Array = None  # (nefc,)
     # constraint solve products
     efc_force: jax.Array = None  # (nefc,)
     qfrc_constraint: jax.Array = None  # (nv,)

@@ -102,8 +102,9 @@ def fluid(m: M.Model, d: M.Data) -> jax.Array:
     lfrc_ang = jnp.zeros_like(ang)
     lfrc_lin = jnp.zeros_like(lin)
 
-    # viscous resistance (equivalent-sphere approximation)
-    diam = jnp.mean(box, axis=-1, keepdims=True)
+    # viscous resistance (equivalent-sphere approximation; box holds
+    # half-sizes, the sphere diameter is the mean full edge length)
+    diam = 2.0 * jnp.mean(box, axis=-1, keepdims=True)
     lfrc_ang = lfrc_ang - jnp.pi * diam**3 * viscosity * ang
     lfrc_lin = lfrc_lin - 3.0 * jnp.pi * diam * viscosity * lin
 

@@ -1,0 +1,292 @@
+"""Constraint solver: projected CG on the primal (acceleration) problem.
+
+Minimizes over qacc:
+    0.5 (x - a0)' M (x - a0) + sum_i s_i(J x - aref)
+where a0 = qacc_smooth and s_i are the per-row penalty functions defined by
+MuJoCo's constraint model: one-sided quadratics for limits / pyramidal
+contact rows, and the elliptic-cone cost for elliptic contacts. This is the
+same convex problem mj_forward solves; the implementation is a fixed
+iteration-count CG (Polak-Ribiere, M^-1-preconditioned) with an iterative
+exact line search — fully branch-free so one XLA compilation serves every
+env in the batch (converged envs freeze via masking).
+
+Validated against C-oracle qacc/qfrc_constraint in tests.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from brax_tracking_tpu.physics import constraint as Cn
+from brax_tracking_tpu.physics import dynamics as D
+from brax_tracking_tpu.physics import model as M
+
+
+class _ConeMeta(NamedTuple):
+    """Static row metadata for evaluating the constraint cost."""
+
+    quad_rows: np.ndarray  # rows with 1-sided quadratic cost
+    quad_exists_con: np.ndarray  # contact slot gating each quad row (-1 = limit)
+    ell_con: np.ndarray  # elliptic contact slot ids
+    ell_rows: np.ndarray  # (nell, maxdim) row indices (normal first), -1 pad
+    ell_dim: np.ndarray  # (nell,)
+
+
+def _cone_meta(m: M.Model, layout: Cn.EfcLayout) -> _ConeMeta:
+    elliptic = m.opt.cone == M.CONE_ELLIPTIC
+    quad_rows, quad_con = [], []
+    ell_con, ell_rows, ell_dim = [], [], []
+    for r in range(layout.nefc):
+        t = layout.row_type[r]
+        if t == Cn.ROW_LIMIT:
+            quad_rows.append(r)
+            quad_con.append(-1)
+        elif t == Cn.ROW_CON_PYRAMID:
+            quad_rows.append(r)
+            quad_con.append(layout.row_con[r])
+        elif t == Cn.ROW_CON_NORMAL and (
+            not elliptic or layout.con_dim[layout.row_con[r]] == 1
+        ):
+            quad_rows.append(r)
+            quad_con.append(layout.row_con[r])
+    if elliptic:
+        for slot in range(m.ncon):
+            dim = int(layout.con_dim[slot])
+            if dim > 1:
+                ell_con.append(slot)
+                rows = [int(layout.con_rows[slot]) + k for k in range(dim)]
+                ell_rows.append(rows)
+                ell_dim.append(dim)
+    maxdim = max(ell_dim, default=1)
+    ell_rows = np.array(
+        [r + [-1] * (maxdim - len(r)) for r in ell_rows], np.int32
+    ).reshape(len(ell_con), maxdim)
+    return _ConeMeta(
+        np.array(quad_rows, np.int32),
+        np.array(quad_con, np.int32),
+        np.array(ell_con, np.int32),
+        ell_rows,
+        np.array(ell_dim, np.int32),
+    )
+
+
+class _Ctx(NamedTuple):
+    x: jax.Array  # qacc
+    jar: jax.Array  # J x - aref
+    force: jax.Array  # efc forces
+    cost: jax.Array
+    grad: jax.Array
+    mgrad: jax.Array
+
+
+def _eval_cost_force(m, meta, layout, pairs_friction, exists_row, exists_con, jar, efc_D):
+    """Constraint cost and per-row force at the given jar.
+
+    exists_row: (nefc,) bool — row instantiated (efc_pos < efc_margin),
+    exists_con: (ncon,) bool — contact slot active (for elliptic cones).
+    """
+    dtype = jar.dtype
+    force = jnp.zeros_like(jar)
+    cost = jnp.zeros((), dtype)
+
+    if meta.quad_rows.size:
+        r = meta.quad_rows
+        active = (jar[r] < 0) & exists_row[r]
+        f = jnp.where(active, -efc_D[r] * jar[r], 0.0)
+        force = force.at[r].set(f)
+        cost = cost + 0.5 * jnp.sum(jnp.where(active, efc_D[r] * jar[r] ** 2, 0.0))
+
+    if meta.ell_con.size:
+        slots = meta.ell_con
+        rows = meta.ell_rows  # (nell, dim)
+        mu = pairs_friction[slots, 0]  # slide friction
+        fr = pairs_friction[slots, 1:3]  # tangent frictions
+        n = jar[rows[:, 0]]
+        # friction-scaled tangential components: u_i = jar_i * friction_i / mu
+        u_t = jar[rows[:, 1:]] * fr / mu[:, None]
+        tsqr = jnp.sum(u_t * u_t, axis=-1)
+        t = jnp.sqrt(jnp.maximum(tsqr, M.MINVAL * M.MINVAL))
+        g = exists_con[slots]
+        dn = efc_D[rows[:, 0]]
+        bottom = g & (mu * n + t <= 0)
+        middle = g & ~bottom & (n < mu * t)
+        dm = dn / jnp.maximum(1 + mu * mu, M.MINVAL)  # oracle-fitted: D_n/(1+mu^2)
+        nmt = n - mu * t
+        # bottom zone: independent quadratics on all rows
+        d_all = efc_D[rows]  # (nell, dim)
+        jar_all = jar[rows]
+        cost = cost + jnp.sum(
+            jnp.where(bottom, 0.5 * jnp.sum(d_all * jar_all**2, -1), 0.0)
+        )
+        f_bottom = -d_all * jar_all
+        # middle zone: cone distance cost
+        cost = cost + jnp.sum(jnp.where(middle, 0.5 * dm * nmt * nmt, 0.0))
+        fn_mid = -dm * nmt
+        ft_mid = (dm * nmt * mu)[:, None] * (u_t / t[:, None]) * fr / mu[:, None]
+        f_mid = jnp.concatenate([fn_mid[:, None], ft_mid], axis=-1)
+        f = jnp.where(bottom[:, None], f_bottom, jnp.where(middle[:, None], f_mid, 0.0))
+        valid = jnp.asarray(rows >= 0)
+        force = force.at[np.maximum(rows, 0)].add(jnp.where(valid, f, 0.0))
+
+    return cost, force
+
+
+def _linesearch(m, meta, layout, friction, exists_row, exists_con, ctx, p, jar_p, d: M.Data):
+    """Exact line search along p: bracket phi' sign change, safeguarded Newton.
+
+    phi(alpha) is convex piecewise-smooth; dphi evaluates (phi', phi'') for a
+    *batch* of alphas at once so the bracket expansion is a single wide op.
+    """
+    dtype = ctx.x.dtype
+    mp = d.qM @ p
+    pmp = jnp.dot(p, mp)
+    # gauss part: phi_g(a) = 0.5||x + a p - a0||_M^2 -> phi_g' = p'M(x-a0) + a p'Mp
+    gauss_p = jnp.dot(p, d.qM @ (ctx.x - d.qacc_smooth))
+
+    def dphi(alpha):
+        """alpha: (...,) -> (phi'(alpha), phi''(alpha)) elementwise."""
+        a = alpha[..., None]
+        jar = ctx.jar + a * jar_p  # (..., nefc)
+        dval = gauss_p + alpha * pmp
+        ddval = jnp.broadcast_to(pmp, alpha.shape)
+        if meta.quad_rows.size:
+            r = meta.quad_rows
+            active = (jar[..., r] < 0) & exists_row[r]
+            dval = dval + jnp.sum(
+                jnp.where(active, d.efc_D[r] * jar[..., r] * jar_p[r], 0.0), -1
+            )
+            ddval = ddval + jnp.sum(
+                jnp.where(active, d.efc_D[r] * jar_p[r] ** 2, 0.0), -1
+            )
+        if meta.ell_con.size:
+            slots = meta.ell_con
+            rows = meta.ell_rows
+            mu = friction[slots, 0]
+            fr = friction[slots, 1:3]
+            n = jar[..., rows[:, 0]]
+            np_ = jar_p[rows[:, 0]]
+            scale = fr / mu[:, None]
+            u_t = jar[..., rows[:, 1:]] * scale
+            u_tp = jar_p[rows[:, 1:]] * scale
+            tsqr = jnp.sum(u_t * u_t, -1)
+            t = jnp.sqrt(jnp.maximum(tsqr, M.MINVAL * M.MINVAL))
+            tp_dot = jnp.sum(u_t * u_tp, -1)
+            tpsqr = jnp.sum(u_tp * u_tp, -1)
+            g = exists_con[slots]
+            dn = d.efc_D[rows[:, 0]]
+            bottom = g & (mu * n + t <= 0)
+            middle = g & ~bottom & (n < mu * t)
+            dm = dn / jnp.maximum(1 + mu * mu, M.MINVAL)  # oracle-fitted
+            nmt = n - mu * t
+            tprime = tp_dot / t
+            tdprime = jnp.maximum(tpsqr - tprime * tprime, 0.0) / t
+            dval = dval + jnp.sum(
+                jnp.where(middle, dm * nmt * (np_ - mu * tprime), 0.0), -1
+            )
+            ddval = ddval + jnp.sum(
+                jnp.where(
+                    middle,
+                    dm * ((np_ - mu * tprime) ** 2 - nmt * mu * tdprime),
+                    0.0,
+                ),
+                -1,
+            )
+            d_all = d.efc_D[rows]
+            jar_all = jar[..., rows]
+            dval = dval + jnp.sum(
+                jnp.where(bottom, jnp.sum(d_all * jar_all * jar_p[rows], -1), 0.0),
+                -1,
+            )
+            ddval = ddval + jnp.sum(
+                jnp.where(bottom, jnp.sum(d_all * jar_p[rows] ** 2, -1), 0.0), -1
+            )
+        return dval, ddval
+
+    d0, dd0 = dphi(jnp.zeros((1,), dtype))
+    guess = jnp.maximum(-d0[0] / jnp.maximum(dd0[0], M.MINVAL), M.MINVAL)
+    # bracket: evaluate guess * 2^k for all k in one call
+    cand = guess * jnp.asarray(2.0 ** np.arange(13), dtype)
+    dcand, _ = dphi(cand)
+    pos = dcand >= 0
+    hi = jnp.min(jnp.where(pos, cand, cand[-1]))
+    lo = jnp.max(jnp.where(~pos & (cand < hi), cand, 0.0))
+    alpha = jnp.minimum(guess, hi)
+    for _ in range(max(m.opt.ls_iterations, 1)):
+        dv, ddv = dphi(alpha[None])
+        dv, ddv = dv[0], ddv[0]
+        lo = jnp.where(dv < 0, alpha, lo)
+        hi = jnp.where(dv >= 0, alpha, hi)
+        newton = alpha - dv / jnp.maximum(ddv, M.MINVAL)
+        inside = (newton > lo) & (newton < hi)
+        alpha = jnp.where(inside, newton, 0.5 * (lo + hi))
+    return alpha
+
+
+def solve(m: M.Model, d: M.Data) -> M.Data:
+    """CG solve for qacc; writes qacc, qfrc_constraint, efc_force."""
+    dtype = d.qpos.dtype
+    layout = Cn.efc_layout(m)
+    if layout.nefc == 0 or m.nv == 0:
+        return d.replace(
+            qacc=d.qacc_smooth,
+            qfrc_constraint=jnp.zeros(m.nv, dtype),
+            efc_force=jnp.zeros(0, dtype),
+        )
+    meta = _cone_meta(m, layout)
+    friction = m.pairs.friction.astype(dtype) if m.ncon else jnp.zeros((0, 5), dtype)
+    # spatial gating: a row is instantiated iff its pos is within margin
+    exists_row = d.efc_pos < d.efc_margin
+    if m.ncon:
+        cp = layout.con_pair
+        includemargin = m.pairs.margin[cp].astype(dtype)
+        exists_con = d.contact_dist < includemargin
+    else:
+        exists_con = jnp.zeros((0,), bool)
+
+    def eval_ctx(x):
+        jar = d.efc_J @ x - d.efc_aref
+        cost, force = _eval_cost_force(
+            m, meta, layout, friction, exists_row, exists_con, jar, d.efc_D
+        )
+        gauss = 0.5 * jnp.dot(x - d.qacc_smooth, d.qM @ (x - d.qacc_smooth))
+        grad = d.qM @ (x - d.qacc_smooth) - d.efc_J.T @ force
+        mgrad = D.solve_m(m, d, grad)
+        return _Ctx(x, jar, force, cost + gauss, grad, mgrad)
+
+    ctx = eval_ctx(d.qacc_smooth)
+    p = -ctx.mgrad
+
+    tol = m.opt.tolerance.astype(dtype) * m.opt.meaninertia.astype(dtype) * max(1, m.nv)
+
+    done = jnp.zeros((), bool)
+    for _ in range(max(m.opt.iterations, 1)):
+        jar_p = d.efc_J @ p
+        alpha = _linesearch(
+            m, meta, layout, friction, exists_row, exists_con, ctx, p, jar_p, d
+        )
+        x_new = ctx.x + alpha * p
+        new_ctx = eval_ctx(x_new)
+        improvement = ctx.cost - new_ctx.cost
+        gradient = jnp.linalg.norm(new_ctx.grad)
+        # Polak-Ribiere
+        beta = jnp.dot(new_ctx.grad, new_ctx.mgrad - ctx.mgrad) / jnp.maximum(
+            jnp.dot(ctx.grad, ctx.mgrad), M.MINVAL
+        )
+        beta = jnp.maximum(0.0, beta)
+        p_new = -new_ctx.mgrad + beta * p
+        step_done = (improvement < tol) | (gradient < tol)
+        # freeze after convergence
+        ctx = jax.tree.map(
+            lambda new, old: jnp.where(done, old, new), new_ctx, ctx
+        )
+        p = jnp.where(done, p, p_new)
+        done = done | step_done
+
+    qfrc_constraint = d.efc_J.T @ ctx.force
+    return d.replace(
+        qacc=ctx.x, qfrc_constraint=qfrc_constraint, efc_force=ctx.force
+    )

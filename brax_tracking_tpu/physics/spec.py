@@ -426,6 +426,7 @@ def model_from_mj(m: mujoco.MjModel, dtype=jnp.float32) -> M.Model:
         impratio=j(m.opt.impratio),
         tolerance=j(m.opt.tolerance),
         ls_tolerance=j(m.opt.ls_tolerance),
+        meaninertia=j(m.stat.meaninertia),
         integrator=int(m.opt.integrator),
         cone=int(m.opt.cone),
         solver=int(m.opt.solver),

@@ -24,3 +24,7 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# Persistent compilation cache: the physics step takes minutes to compile on
+# CPU; cache hits make repeated test runs fast.
+jax.config.update("jax_compilation_cache_dir", "/tmp/btt_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
