@@ -52,15 +52,16 @@ class ReferenceClip:
 
 
 def extract_features(m: M.Model, mocap_qpos: jax.Array) -> ReferenceClip:
-    """FK over all frames under one scan; fills the pose-derived fields."""
+    """FK over all frames, batched with vmap (the frames are independent, so
+    a scan carry is pointless; one batched FK maps better onto the TPU)."""
     d0 = pstep.make_data(m, dtype=mocap_qpos.dtype)
 
-    def f(d, qpos):
-        d = d.replace(qpos=qpos, qvel=jnp.zeros_like(d.qvel))
+    def f(qpos):
+        d = d0.replace(qpos=qpos, qvel=jnp.zeros_like(d0.qvel))
         d = K.kinematics(m, d)
-        return d, (d.xpos, d.xquat)
+        return d.xpos, d.xquat
 
-    _, (xpos, xquat) = jax.lax.scan(f, d0, mocap_qpos)
+    xpos, xquat = jax.vmap(f)(mocap_qpos)
     free_root = m.njnt > 0 and m.jnt_type[0] == M.JNT_FREE
     if free_root:
         return ReferenceClip(

@@ -83,7 +83,9 @@ class TrackingEnv(PipelineEnv):
         super().__init__(model, n_frames=physics_steps_per_control_step)
 
         # physics substeps per mocap frame (fruitfly.py:85-93)
-        max_steps = int(1.0 / (mocap_hz * float(np.asarray(model.opt.timestep))))
+        # round, not truncate: a float32 timestep of 0.002 is 0.002000000095,
+        # which would otherwise floor 10.0 substeps down to 9.
+        max_steps = round(1.0 / (mocap_hz * float(np.asarray(model.opt.timestep))))
         if max_steps % physics_steps_per_control_step != 0:
             raise ValueError(
                 f"physics_steps_per_control_step ({physics_steps_per_control_step})"
@@ -282,9 +284,13 @@ class TrackingEnv(PipelineEnv):
         # NaN guard: reset env on any NaN in the pipeline state
         reward = jnp.nan_to_num(reward)
         obs = jnp.nan_to_num(obs)
-        flat, _ = jax.flatten_util.ravel_pytree(data)
-        nan = jnp.where(jnp.sum(jnp.isnan(flat)) > 0, 1.0, 0.0)
-        done = jnp.maximum(nan, done)
+        leaves = [
+            x
+            for x in jax.tree_util.tree_leaves(data)
+            if jnp.issubdtype(x.dtype, jnp.floating)
+        ]
+        any_nan = jnp.any(jnp.stack([jnp.any(jnp.isnan(x)) for x in leaves]))
+        done = jnp.maximum(jnp.where(any_nan, 1.0, 0.0).astype(done.dtype), done)
 
         metrics = dict(state.metrics)
         metrics.update(

@@ -134,10 +134,13 @@ class AutoResetWrapperTracking(Wrapper):
         state = self.env.reset(rng)
         state.info["first_pipeline_state"] = state.pipeline_state
         state.info["first_obs"] = state.obs
-        state.info["first_cur_frame"] = state.info["cur_frame"]
-        state.info["first_steps_taken_cur_frame"] = state.info[
-            "steps_taken_cur_frame"
-        ]
+        # Tracking clock fields exist on tracking envs; plain envs skip them.
+        if "cur_frame" in state.info:
+            state.info["first_cur_frame"] = state.info["cur_frame"]
+        if "steps_taken_cur_frame" in state.info:
+            state.info["first_steps_taken_cur_frame"] = state.info[
+                "steps_taken_cur_frame"
+            ]
         return state
 
     def step(self, state: State, action: jax.Array) -> State:
@@ -158,13 +161,15 @@ class AutoResetWrapperTracking(Wrapper):
             where_done, state.info["first_pipeline_state"], state.pipeline_state
         )
         obs = where_done(state.info["first_obs"], state.obs)
-        state.info["cur_frame"] = where_done(
-            state.info["first_cur_frame"], state.info["cur_frame"]
-        )
-        state.info["steps_taken_cur_frame"] = where_done(
-            state.info["first_steps_taken_cur_frame"],
-            state.info["steps_taken_cur_frame"],
-        )
+        if "first_cur_frame" in state.info:
+            state.info["cur_frame"] = where_done(
+                state.info["first_cur_frame"], state.info["cur_frame"]
+            )
+        if "first_steps_taken_cur_frame" in state.info:
+            state.info["steps_taken_cur_frame"] = where_done(
+                state.info["first_steps_taken_cur_frame"],
+                state.info["steps_taken_cur_frame"],
+            )
         return state.replace(pipeline_state=pipeline_state, obs=obs)
 
 
