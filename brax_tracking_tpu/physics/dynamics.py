@@ -49,21 +49,27 @@ def crb(m: M.Model, d: M.Data) -> M.Data:
 
 
 def factor_m(m: M.Model, d: M.Data) -> M.Data:
-    """Dense Cholesky factor of qM (batched over envs by the outer vmap)."""
-    qLD = jax.scipy.linalg.cholesky(d.qM, lower=True)
-    return d.replace(qLD=qLD)
+    """Dense Cholesky factor of qM: qLD holds the UPPER factor U (qM=U'U).
+
+    Under an outer vmap on TPU this dispatches to the Pallas lane-batched
+    kernel (ops/cholesky.py); unbatched/CPU uses jax.scipy.
+    """
+    from brax_tracking_tpu.ops import cholesky as ops_chol
+
+    return d.replace(qLD=ops_chol.cholesky_factor(d.qM))
 
 
 def solve_m(m: M.Model, d: M.Data, rhs: jax.Array) -> jax.Array:
-    """Solves qM x = rhs using the cached Cholesky factor.
+    """Solves qM x = rhs using the cached upper Cholesky factor.
 
     rhs may be (nv,) or (nv, k).
     """
-    vec = rhs.ndim == 1
-    b = rhs[:, None] if vec else rhs
-    y = jax.scipy.linalg.solve_triangular(d.qLD, b, lower=True)
-    x = jax.scipy.linalg.solve_triangular(d.qLD.T, y, lower=False)
-    return x[:, 0] if vec else x
+    from brax_tracking_tpu.ops import cholesky as ops_chol
+
+    if rhs.ndim == 1:
+        return ops_chol.cholesky_solve(d.qLD, rhs)
+    y = jax.scipy.linalg.solve_triangular(d.qLD.T, rhs, lower=True)
+    return jax.scipy.linalg.solve_triangular(d.qLD, y, lower=False)
 
 
 def rne(m: M.Model, d: M.Data) -> M.Data:

@@ -71,25 +71,39 @@ def forward(m: M.Model, d: M.Data) -> M.Data:
 
 
 def _integrate_pos(m: M.Model, qpos: jax.Array, qvel: jax.Array, dt) -> jax.Array:
-    """mj_integratePos: joint-type-aware position integration."""
+    """mj_integratePos, vectorized across joints.
+
+    Scalar joints (hinge/slide) integrate with ONE gather+scatter pair;
+    quaternion joints (free root, ball) are few per model and handled with
+    a short static loop each.
+    """
+    import numpy as np
+
     from brax_tracking_tpu import math as btm
 
+    jtypes = np.asarray(m.jnt_type)
+    qadrs = np.asarray(m.jnt_qposadr)
+    dadrs = np.asarray(m.jnt_dofadr)
+
     out = qpos
-    for jid in range(m.njnt):
-        jtype = int(m.jnt_type[jid])
-        qadr = int(m.jnt_qposadr[jid])
-        dadr = int(m.jnt_dofadr[jid])
-        if jtype == M.JNT_FREE:
-            out = out.at[qadr : qadr + 3].add(dt * qvel[dadr : dadr + 3])
-            q = btm.quat_integrate(
-                qpos[qadr + 3 : qadr + 7], qvel[dadr + 3 : dadr + 6], dt
-            )
-            out = out.at[qadr + 3 : qadr + 7].set(q)
-        elif jtype == M.JNT_BALL:
-            q = btm.quat_integrate(qpos[qadr : qadr + 4], qvel[dadr : dadr + 3], dt)
-            out = out.at[qadr : qadr + 4].set(q)
-        else:
-            out = out.at[qadr].add(dt * qvel[dadr])
+    # all hinge/slide dofs at once
+    scalar = (jtypes == M.JNT_HINGE) | (jtypes == M.JNT_SLIDE)
+    if scalar.any():
+        sq = qadrs[scalar]
+        sd = dadrs[scalar]
+        out = out.at[sq].add(dt * qvel[sd])
+    # free-joint translations (usually one) — contiguous slices
+    for jid in np.nonzero(jtypes == M.JNT_FREE)[0]:
+        qadr, dadr = int(qadrs[jid]), int(dadrs[jid])
+        out = out.at[qadr : qadr + 3].add(dt * qvel[dadr : dadr + 3])
+        q = btm.quat_integrate(
+            qpos[qadr + 3 : qadr + 7], qvel[dadr + 3 : dadr + 6], dt
+        )
+        out = out.at[qadr + 3 : qadr + 7].set(q)
+    for jid in np.nonzero(jtypes == M.JNT_BALL)[0]:
+        qadr, dadr = int(qadrs[jid]), int(dadrs[jid])
+        q = btm.quat_integrate(qpos[qadr : qadr + 4], qvel[dadr : dadr + 3], dt)
+        out = out.at[qadr : qadr + 4].set(q)
     return out
 
 
@@ -106,10 +120,13 @@ def step(m: M.Model, d: M.Data) -> M.Data:
         # Implicit joint damping (MuJoCo Euler): damping already contributes
         # -B v_t inside qfrc_smooth, so the implicit velocity update is
         #   v' = v + h (M + hB)^-1 (qfrc_smooth + qfrc_constraint).
+        # Uses the lane-batched Pallas Cholesky on TPU (ops/cholesky.py).
+        from brax_tracking_tpu.ops import cholesky as ops_chol
+
         qfrc = d.qfrc_smooth + d.qfrc_constraint
         mh = d.qM + dt * jnp.diag(m.dof_damping.astype(d.qpos.dtype))
-        lh = jax.scipy.linalg.cho_factor(mh)
-        qvel_new = d.qvel + dt * jax.scipy.linalg.cho_solve(lh, qfrc)
+        uh = ops_chol.cholesky_factor(mh)
+        qvel_new = d.qvel + dt * ops_chol.cholesky_solve(uh, qfrc)
     else:
         qvel_new = d.qvel + dt * d.qacc
 
