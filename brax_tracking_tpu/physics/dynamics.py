@@ -29,12 +29,11 @@ def crb(m: M.Model, d: M.Data) -> M.Data:
     if m.nv == 0:
         return d.replace(qM=jnp.zeros((0, 0), dtype))
 
-    ci, ch = d.cinert_i, d.cinert_h
-    cm = m.body_mass.astype(dtype)
-    for lev in reversed(m.plan.levels):
-        ci = ci.at[lev.parents].add(ci[lev.bodies])
-        ch = ch.at[lev.parents].add(ch[lev.bodies])
-        cm = cm.at[lev.parents].add(cm[lev.bodies])
+    # composite inertia = subtree sums: one mask matmul per field (MXU)
+    SUB = jnp.asarray(m.plan.body_subtree_mask, dtype)
+    ci = jnp.tensordot(SUB, d.cinert_i, axes=1)
+    ch = jnp.tensordot(SUB, d.cinert_h, axes=1)
+    cm = SUB @ m.body_mass.astype(dtype)
 
     dofb = np.asarray(m.dof_bodyid)
     f = inert_mul(SpatialInertia(ci[dofb], ch[dofb], cm[dofb]), d.cdof)  # (nv, 6)
@@ -83,17 +82,16 @@ def rne(m: M.Model, d: M.Data) -> M.Data:
     dof_acc = jax.ops.segment_sum(
         d.cdof_dot * d.qvel[:, None], np.asarray(m.dof_bodyid), m.nbody
     )
-    cacc = jnp.tile(cacc0, (m.nbody, 1))
-    for lev in m.plan.levels:
-        cacc = cacc.at[lev.bodies].set(cacc[lev.parents] + dof_acc[lev.bodies])
+    # prefix (root-to-body) and subtree (body-to-root) accumulations as mask
+    # matmuls — see plan.body_subtree_mask
+    SUB = jnp.asarray(m.plan.body_subtree_mask, dtype)
+    cacc = cacc0[None, :] + SUB.T @ dof_acc
 
     inert = SpatialInertia(d.cinert_i, d.cinert_h, m.body_mass.astype(dtype))
     fv = inert_mul(inert, d.cvel)
     cfrc = inert_mul(inert, cacc) + btm.motion_cross_force(d.cvel, fv)
     cfrc = cfrc.at[0].set(0.0)
-
-    for lev in reversed(m.plan.levels):
-        cfrc = cfrc.at[lev.parents].add(cfrc[lev.bodies])
+    cfrc = SUB @ cfrc
 
     qfrc_bias = jnp.einsum("ij,ij->i", d.cdof, cfrc[m.dof_bodyid])
     return d.replace(qfrc_bias=qfrc_bias)

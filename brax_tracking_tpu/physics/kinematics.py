@@ -146,11 +146,9 @@ def com_pos(m: M.Model, d: M.Data) -> M.Data:
     plan = m.plan
     mass = m.body_mass.astype(dtype)
 
-    acc = mass[:, None] * d.xipos
-    submass = mass
-    for lev in reversed(plan.levels):
-        acc = acc.at[lev.parents].add(acc[lev.bodies])
-        submass = submass.at[lev.parents].add(submass[lev.bodies])
+    SUB = jnp.asarray(plan.body_subtree_mask, dtype)
+    acc = SUB @ (mass[:, None] * d.xipos)
+    submass = SUB @ mass
     subtree_com = acc / jnp.maximum(submass, M.MINVAL)[:, None]
 
     root_com = subtree_com[m.body_rootid]
@@ -229,9 +227,8 @@ def com_vel(m: M.Model, d: M.Data) -> M.Data:
     contrib = d.cdof * d.qvel[:, None]  # (nv, 6)
     own = jax.ops.segment_sum(contrib, np.asarray(m.dof_bodyid), m.nbody)
 
-    cvel = jnp.zeros((m.nbody, 6), dtype)
-    for lev in plan.levels:
-        cvel = cvel.at[lev.bodies].set(cvel[lev.parents] + own[lev.bodies])
+    # root-to-body prefix sum as one mask matmul (own[world]=0)
+    cvel = jnp.asarray(plan.body_subtree_mask, dtype).T @ own
 
     # velocity "before" each dof's joint sub-group, for cdof_dot
     S = jnp.asarray(plan.dof_suffix_mask, dtype)

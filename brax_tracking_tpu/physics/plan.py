@@ -40,6 +40,11 @@ class Plan:
     levels: Tuple[Level, ...]
     # joint-type partitions over all joints (for cdof etc.)
     jnt_by_type: Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]
+    # tree-accumulation mask: SUB[p, b] = 1 iff p is ancestor-or-self of b.
+    # Subtree sums are SUB @ x; root-to-body prefix sums are SUB.T @ x —
+    # single MXU matmuls instead of sequential per-level scatters (the TPU
+    # cannot scatter fast, but it can matmul for free).
+    body_subtree_mask: np.ndarray  # (nbody, nbody) float
     # com_vel helpers
     dof_suffix_mask: np.ndarray  # (nv, nv) float: same-body, >= group start
     free_trans_dof: np.ndarray  # (nv,) bool: translational dofs of free joints
@@ -154,9 +159,16 @@ def make_plan(m) -> Plan:
         for j in range(njnt)
         if m.jnt_type[j] in (0, 1)
     )
+    # ancestor-or-self closure over the parent chain
+    SUB = np.eye(nbody, dtype=np.float64)
+    for b in range(1, nbody):
+        SUB[:, b] += SUB[:, int(m.body_parentid[b])]
+    np.clip(SUB, 0.0, 1.0, out=SUB)
+
     return Plan(
         levels=tuple(levels),
         jnt_by_type=jnt_by_type,
+        body_subtree_mask=SUB,
         dof_suffix_mask=S,
         free_trans_dof=free_trans,
         scalar_qadr=np.asarray(m.jnt_qposadr)[scalar].astype(np.int32),

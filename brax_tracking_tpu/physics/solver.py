@@ -77,6 +77,7 @@ def _cone_meta(m: M.Model, layout: Cn.EfcLayout) -> _ConeMeta:
 class _Ctx(NamedTuple):
     x: jax.Array  # qacc
     jar: jax.Array  # J x - aref
+    mxa: jax.Array  # qM (x - qacc_smooth), tracked incrementally
     force: jax.Array  # efc forces
     cost: jax.Array
     grad: jax.Array
@@ -135,17 +136,16 @@ def _eval_cost_force(m, meta, layout, pairs_friction, exists_row, exists_con, ja
     return cost, force
 
 
-def _linesearch(m, meta, layout, friction, exists_row, exists_con, ctx, p, jar_p, d: M.Data):
+def _linesearch(m, meta, layout, friction, exists_row, exists_con, ctx, p, jar_p, mp, d: M.Data):
     """Exact line search along p: bracket phi' sign change, safeguarded Newton.
 
     phi(alpha) is convex piecewise-smooth; dphi evaluates (phi', phi'') for a
     *batch* of alphas at once so the bracket expansion is a single wide op.
     """
     dtype = ctx.x.dtype
-    mp = d.qM @ p
     pmp = jnp.dot(p, mp)
     # gauss part: phi_g(a) = 0.5||x + a p - a0||_M^2 -> phi_g' = p'M(x-a0) + a p'Mp
-    gauss_p = jnp.dot(p, d.qM @ (ctx.x - d.qacc_smooth))
+    gauss_p = jnp.dot(p, ctx.mxa)
 
     def dphi(alpha):
         """alpha: (...,) -> (phi'(alpha), phi''(alpha)) elementwise."""
@@ -247,17 +247,20 @@ def solve(m: M.Model, d: M.Data) -> M.Data:
     else:
         exists_con = jnp.zeros((0,), bool)
 
-    def eval_ctx(x):
-        jar = d.efc_J @ x - d.efc_aref
+    def eval_ctx(x, jar, mxa):
+        """Cost/grad at x given incrementally-tracked jar = Jx - aref and
+        mxa = M (x - a0). Only J^T force and the M^-1 solve stream matrices;
+        MuJoCo's CG tracks jar/Mx the same way (engine_solver.c)."""
         cost, force = _eval_cost_force(
             m, meta, layout, friction, exists_row, exists_con, jar, d.efc_D
         )
-        gauss = 0.5 * jnp.dot(x - d.qacc_smooth, d.qM @ (x - d.qacc_smooth))
-        grad = d.qM @ (x - d.qacc_smooth) - d.efc_J.T @ force
+        gauss = 0.5 * jnp.dot(x - d.qacc_smooth, mxa)
+        grad = mxa - d.efc_J.T @ force
         mgrad = D.solve_m(m, d, grad)
-        return _Ctx(x, jar, force, cost + gauss, grad, mgrad)
+        return _Ctx(x, jar, mxa, force, cost + gauss, grad, mgrad)
 
-    ctx = eval_ctx(d.qacc_smooth)
+    jar0 = d.efc_J @ d.qacc_smooth - d.efc_aref
+    ctx = eval_ctx(d.qacc_smooth, jar0, jnp.zeros(m.nv, dtype))
     p = -ctx.mgrad
 
     tol = m.opt.tolerance.astype(dtype) * m.opt.meaninertia.astype(dtype) * max(1, m.nv)
@@ -265,11 +268,12 @@ def solve(m: M.Model, d: M.Data) -> M.Data:
     done = jnp.zeros((), bool)
     for _ in range(max(m.opt.iterations, 1)):
         jar_p = d.efc_J @ p
+        mp = d.qM @ p
         alpha = _linesearch(
-            m, meta, layout, friction, exists_row, exists_con, ctx, p, jar_p, d
+            m, meta, layout, friction, exists_row, exists_con, ctx, p, jar_p, mp, d
         )
         x_new = ctx.x + alpha * p
-        new_ctx = eval_ctx(x_new)
+        new_ctx = eval_ctx(x_new, ctx.jar + alpha * jar_p, ctx.mxa + alpha * mp)
         improvement = ctx.cost - new_ctx.cost
         gradient = jnp.linalg.norm(new_ctx.grad)
         # Polak-Ribiere
