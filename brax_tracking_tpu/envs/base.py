@@ -93,7 +93,8 @@ class PipelineEnv(Env):
         return pstep.forward(self._model, d)
 
     def pipeline_step(self, data: M.Data, action: jax.Array) -> M.Data:
-        data = data.replace(ctrl=action)
+        # cast: callers may pass f64 actions under x64; the model dtype rules
+        data = data.replace(ctrl=action.astype(data.qpos.dtype))
 
         def substep(d, _):
             return pstep.step(self._model, d), None

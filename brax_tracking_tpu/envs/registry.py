@@ -23,7 +23,9 @@ def get_environment(name: str, **kwargs) -> Env:
 def _register_defaults():
     from brax_tracking_tpu.envs.fly import FlyFreeJoint, FlyTethered
     from brax_tracking_tpu.envs.rodent import RodentMultiClip, RodentSingleClip
+    from brax_tracking_tpu.envs.tracking import GenericSingleClip
 
+    register_environment("single_clip_tracking", GenericSingleClip)
     register_environment("fly_single_clip", FlyTethered)
     register_environment("fly_single_clip_freejnt", FlyFreeJoint)
     register_environment("rodent_single_clip", RodentSingleClip)

@@ -65,6 +65,7 @@ class RodentSingleClip(TrackingEnv):
         kwargs.setdefault("pos_reward_weight", 1.0)
         kwargs.setdefault("joint_reward_weight", 1.0)
         kwargs.setdefault("too_far_dist", 0.01)
+        kwargs.pop("free_jnt", None)  # rodent is always free-root
         super().__init__(
             model=model,
             reference_clip=reference_clip,

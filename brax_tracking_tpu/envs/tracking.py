@@ -191,6 +191,7 @@ class TrackingEnv(PipelineEnv):
     def step(self, state: State, action: jax.Array) -> State:
         m = self.model
         dtype = state.obs.dtype
+        action = action.astype(dtype)
         data = self.pipeline_step(state.pipeline_state, action)
 
         info = dict(state.info)
@@ -246,9 +247,10 @@ class TrackingEnv(PipelineEnv):
         )
 
         min_z, max_z = self._healthy_z_range
+        one, zero = jnp.ones((), dtype), jnp.zeros((), dtype)
         thorax_z = data.xpos[self._thorax_idx, 2]
-        is_healthy = jnp.where(thorax_z < min_z, 0.0, 1.0)
-        is_healthy = jnp.where(thorax_z > max_z, 0.0, is_healthy)
+        is_healthy = jnp.where(thorax_z < min_z, zero, one)
+        is_healthy = jnp.where(thorax_z > max_z, zero, is_healthy)
         if self._terminate_when_unhealthy:
             healthy_reward = jnp.asarray(self._healthy_reward, dtype)
         else:
@@ -257,11 +259,11 @@ class TrackingEnv(PipelineEnv):
         summed_pos_distance = jnp.sum(
             (pos_distance * jnp.array([1.0, 1.0, 0.2], dtype)) ** 2
         )
-        too_far = jnp.where(summed_pos_distance > self._too_far_dist, 1.0, 0.0)
+        too_far = jnp.where(summed_pos_distance > self._too_far_dist, one, zero)
         info["summed_pos_distance"] = summed_pos_distance
         info["quat_distance"] = quat_distance
-        bad_pose = jnp.where(joint_distance > self._bad_pose_dist, 1.0, 0.0)
-        bad_quat = jnp.where(quat_distance > self._bad_quat_dist, 1.0, 0.0)
+        bad_pose = jnp.where(joint_distance > self._bad_pose_dist, one, zero)
+        bad_quat = jnp.where(quat_distance > self._bad_quat_dist, one, zero)
         ctrl_cost = self._ctrl_cost_weight * jnp.sum(jnp.square(action))
 
         obs = self._get_obs(data, cur_frame)
@@ -276,7 +278,7 @@ class TrackingEnv(PipelineEnv):
             - ctrl_cost
         )
         if self._terminate_when_unhealthy:
-            done = 1.0 - is_healthy
+            done = one - is_healthy
         else:
             done = jnp.zeros((), dtype)
         done = jnp.max(jnp.stack([done, too_far, bad_pose, bad_quat]))
@@ -290,7 +292,7 @@ class TrackingEnv(PipelineEnv):
             if jnp.issubdtype(x.dtype, jnp.floating)
         ]
         any_nan = jnp.any(jnp.stack([jnp.any(jnp.isnan(x)) for x in leaves]))
-        done = jnp.maximum(jnp.where(any_nan, 1.0, 0.0).astype(done.dtype), done)
+        done = jnp.maximum(jnp.where(any_nan, one, zero), done)
 
         metrics = dict(state.metrics)
         metrics.update(
@@ -354,3 +356,37 @@ class TrackingEnv(PipelineEnv):
         parts.append(body_pos_dist_local)
 
         return jnp.concatenate(parts)
+
+
+class GenericSingleClip(TrackingEnv):
+    """Registry-constructible tracking env: compiles its model from
+    ``mjcf_path`` (supports ``builtin:`` package assets). Used by the
+    harness for models with no dedicated env class (e.g. minirat)."""
+
+    def __init__(
+        self,
+        reference_clip: ReferenceClip,
+        mjcf_path: str,
+        scale_factor: float = 1.0,
+        torque_actuators: bool = False,
+        solver: str = "cg",
+        iterations: int = 4,
+        ls_iterations: int = 4,
+        free_jnt: bool = True,
+        dtype=None,
+        **kwargs,
+    ):
+        model = bspec.build_model(
+            mjcf_path,
+            free_jnt=free_jnt,
+            torque_actuators=torque_actuators,
+            scale_factor=scale_factor,
+            rescale_root=kwargs.get("center_of_mass", "torso"),
+            solver=solver,
+            iterations=iterations,
+            ls_iterations=ls_iterations,
+            dtype=dtype or jnp.float32,
+        )
+        super().__init__(
+            model=model, reference_clip=reference_clip, free_jnt=free_jnt, **kwargs
+        )

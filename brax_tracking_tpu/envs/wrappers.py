@@ -102,20 +102,26 @@ class DomainRandomizationVmapWrapper(Wrapper):
         super().__init__(env)
         self._model_v, self._in_axes = randomization_fn(self.env.unwrapped.model)
 
-    def _env_fn(self, model: M.Model) -> Env:
-        env = self.env
-        env.unwrapped._model = model
-        return env
+    def _with_model(self, model: M.Model, fn):
+        """Runs fn with the env's model swapped, restoring afterwards so no
+        traced model leaks into the (shared, stateful) env object."""
+        unwrapped = self.env.unwrapped
+        old = unwrapped._model
+        unwrapped._model = model
+        try:
+            return fn()
+        finally:
+            unwrapped._model = old
 
     def reset(self, rng: jax.Array) -> State:
         def reset_one(model, r):
-            return self._env_fn(model).reset(r)
+            return self._with_model(model, lambda: self.env.reset(r))
 
         return jax.vmap(reset_one, in_axes=[self._in_axes, 0])(self._model_v, rng)
 
     def step(self, state: State, action: jax.Array) -> State:
         def step_one(model, s, a):
-            return self._env_fn(model).step(s, a)
+            return self._with_model(model, lambda: self.env.step(s, a))
 
         return jax.vmap(step_one, in_axes=[self._in_axes, 0, 0])(
             self._model_v, state, action

@@ -1,0 +1,251 @@
+"""Experiment driver: config -> clip cache -> env -> PPO -> eval artifacts.
+
+Capability parity with /root/reference/main.py:48-334:
+- path management (51-54), clip load-or-build with pickle cache (57-74),
+- env construction via the registry (77-81),
+- episode_length = (clip_length - 50 - ref_len) * steps_for_cur_frame (84-87),
+- metrics logging (119-127; wandb -> JSONL fallback here),
+- per-eval callback: param snapshot, deterministic rollout from frame 0,
+  per-frame reward stats, optional policy-vs-reference video (136-325),
+- final param save + resolved-config snapshot (327-334).
+
+Run: ``python -m brax_tracking_tpu.harness.driver [group=choice] [a.b=v]``
+e.g. ``python -m brax_tracking_tpu.harness.driver train=smoke dataset=rodent``
+
+Demo mode: with ``dataset.stac_path=''`` a synthetic mocap clip is built
+from the model's home pose (no stac data ships with this image).
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import os
+import pickle
+import sys
+from typing import Dict, Optional
+
+import numpy as np
+
+_logger = logging.getLogger(__name__)
+
+
+def _build_clip(cfg: Dict, env_model):
+    """Load-or-build the ReferenceClip with the reference's pickle cache."""
+    import jax.numpy as jnp
+
+    from brax_tracking_tpu.data import clips as C
+
+    ds = cfg["dataset"]
+    clip_dir = os.path.join(cfg["paths"]["data_dir"], "clips")
+    os.makedirs(clip_dir, exist_ok=True)
+    cache = os.path.join(clip_dir, f"{ds['clip_idx']}.p")
+    if os.path.exists(cache):
+        return C.load_clip(cache)
+    dt = 1.0 / ds.get("mocap_hz", 50)
+    if ds.get("stac_path"):
+        clip = C.process_clip_to_train(
+            ds["stac_path"],
+            env_model,
+            start_step=ds["clip_idx"] * ds["clip_length"],
+            clip_length=ds["clip_length"],
+            dt=dt,
+        )
+    else:
+        _logger.warning("dataset.stac_path empty -> synthetic demo clip")
+        T = ds["clip_length"]
+        qpos = np.tile(np.asarray(env_model.qpos0, np.float64), (T, 1))
+        qpos[:, 2] += 0.01
+        qpos[:, 0] += np.linspace(0.0, 0.2, T)
+        clip = C.process_clip(env_model, jnp.asarray(qpos, jnp.float32), dt=dt)
+    C.save_clip(cache, clip)
+    return clip
+
+
+def _eval_callback(cfg: Dict, env, logger, model_path: str):
+    """policy_params_fn parity (main.py:136-325): snapshot + rollout stats
+    (+ optional video)."""
+    import jax
+    import jax.numpy as jnp
+
+    from brax_tracking_tpu.envs.wrappers import RenderRolloutWrapperTracking
+    from brax_tracking_tpu.training import checkpoint
+
+    rollout_env = RenderRolloutWrapperTracking(env)
+    n_steps = int(
+        (cfg["dataset"]["clip_length"] - cfg["dataset"]["ref_traj_length"])
+        * env._steps_for_cur_frame
+    )
+
+    def policy_params_fn(num_steps, make_policy, params):
+        os.makedirs(model_path, exist_ok=True)
+        checkpoint.save_params(os.path.join(model_path, str(num_steps)), params)
+        policy = make_policy(params, deterministic=True)
+        jit_step = jax.jit(rollout_env.step)
+        jit_policy = jax.jit(policy)
+        rng = jax.random.PRNGKey(0)
+        state = jax.jit(rollout_env.reset)(rng)
+        rollout = [state]
+        for _ in range(n_steps):
+            rng, key = jax.random.split(rng)
+            action, _ = jit_policy(state.obs, key)
+            state = jit_step(state, action)
+            rollout.append(state)
+        # per-frame reward stats (reference logs full tables; we log the
+        # summary curve stats + dump the table to disk)
+        table = {
+            k: np.asarray([float(s.metrics[k]) for s in rollout[1:]])
+            for k in rollout[1].metrics
+        }
+        stats = {}
+        for k, v in table.items():
+            stats[f"rollout/{k}_mean"] = float(np.nanmean(v))
+            stats[f"rollout/{k}_min"] = float(np.nanmin(v))
+        pos_dist = [float(s.info.get("summed_pos_distance", np.nan)) for s in rollout[1:]]
+        stats["rollout/summed_pos_distance_mean"] = float(np.nanmean(pos_dist))
+        logger.log(stats, step=num_steps)
+        with open(os.path.join(model_path, f"rollout_{num_steps}.p"), "wb") as f:
+            pickle.dump(table, f)
+
+        if cfg["train"].get("render_video"):
+            try:
+                from brax_tracking_tpu.harness import render as R
+
+                qposes_roll = np.stack(
+                    [np.asarray(s.pipeline_state.qpos) for s in rollout]
+                )
+                video_path = os.path.join(model_path, f"rollout_{num_steps}.mp4")
+                R.render_rollout_vs_reference(
+                    cfg["dataset"]["rendering_mjcf"],
+                    qposes_roll,
+                    env._ref_traj,
+                    video_path,
+                    camera=cfg["dataset"].get("camera", 1),
+                    free_jnt=cfg["dataset"]["env_args"].get("free_jnt", True),
+                )
+                logger.log({"rollout/video": video_path}, step=num_steps)
+            except Exception as e:  # GL stack may be absent; never kill training
+                _logger.warning("video render failed: %s", e)
+
+    return policy_params_fn
+
+
+def main(argv=None) -> Dict:
+    logging.basicConfig(level=logging.INFO)
+    argv = sys.argv[1:] if argv is None else argv
+
+    from brax_tracking_tpu.harness.config import load_config, save_config
+    from brax_tracking_tpu.harness.metrics import MetricsLogger
+
+    cfg = load_config(argv)
+    paths = cfg["paths"]
+    for key in ("base_dir", "save_dir", "log_dir", "ckpt_dir", "fig_dir", "data_dir"):
+        os.makedirs(paths[key], exist_ok=True)
+    save_config(cfg, os.path.join(paths["save_dir"], "run_config.yaml"))
+
+    from brax_tracking_tpu.agents.ppo import train as ppo_train
+    from brax_tracking_tpu.agents.ppo import networks as ppo_networks
+    from brax_tracking_tpu.envs import registry
+    from brax_tracking_tpu.physics import spec as bspec
+
+    import jax.numpy as jnp
+
+    ds, tr = cfg["dataset"], cfg["train"]
+    env_args = dict(ds["env_args"])
+
+    # offline model compile for the clip builder (same transforms as the env)
+    model = bspec.build_model(
+        env_args["mjcf_path"],
+        free_jnt=env_args.get("free_jnt", True),
+        torque_actuators=env_args.get("torque_actuators", False),
+        scale_factor=env_args.get("scale_factor", 1.0),
+        rescale_root=env_args.get("center_of_mass", "torso"),
+        solver=env_args.get("solver", "cg"),
+        iterations=env_args.get("iterations", 4),
+        ls_iterations=env_args.get("ls_iterations", 4),
+        dtype=jnp.float32,
+    )
+    clip = _build_clip(cfg, model)
+
+    env = registry.get_environment(
+        tr["env_name"],
+        reference_clip=clip,
+        mocap_hz=ds.get("mocap_hz", 50),
+        ref_len=ds.get("ref_traj_length", 5),
+        **env_args,
+    )
+    # the reference derives episode_length from the clip, overriding the
+    # config value (main.py:84-87); force_episode_length opts out (smoke runs)
+    if tr.get("force_episode_length"):
+        episode_length = int(tr["episode_length"])
+    else:
+        episode_length = int(
+            (ds["clip_length"] - 50 - ds["ref_traj_length"])
+            * env._steps_for_cur_frame
+        )
+    _logger.info("episode_length=%d", episode_length)
+
+    run_name = f"{tr['env_name']}_{tr['task_name']}_{tr['version']}"
+    logger = MetricsLogger(
+        project=tr.get("wandb_project", "brax_tracking_tpu"),
+        run_name=run_name,
+        log_dir=paths["log_dir"],
+        config=cfg,
+    )
+
+    model_path = os.path.join(paths["ckpt_dir"], run_name)
+    policy_params_fn = _eval_callback(cfg, env, logger, model_path)
+
+    def progress_fn(num_steps, metrics):
+        logger.log(metrics, step=num_steps)
+        _logger.info("steps=%s %s", num_steps, {
+            k: round(float(v), 4)
+            for k, v in metrics.items()
+            if k in ("eval/episode_reward", "training/sps")
+        })
+
+    network_factory = functools.partial(
+        ppo_networks.make_ppo_networks,
+        policy_hidden_layer_sizes=tuple(tr["mlp_policy_layer_sizes"]),
+        value_hidden_layer_sizes=tuple(
+            tr.get("mlp_value_layer_sizes", tr["mlp_policy_layer_sizes"])
+        ),
+    )
+
+    make_policy, params, metrics = ppo_train.train(
+        environment=env,
+        num_timesteps=int(tr["num_timesteps"]),
+        episode_length=episode_length,
+        action_repeat=tr.get("action_repeat", 1),
+        num_envs=int(tr["num_envs"]),
+        num_eval_envs=int(tr.get("num_eval_envs", 128)),
+        learning_rate=float(tr["learning_rate"]),
+        entropy_cost=float(tr.get("entropy_cost", 1e-3)),
+        discounting=float(tr.get("discounting", 0.99)),
+        seed=int(cfg.get("seed", 0)),
+        unroll_length=int(tr.get("unroll_length", 16)),
+        batch_size=int(tr["batch_size"]),
+        num_minibatches=int(tr.get("num_minibatches", 32)),
+        num_updates_per_batch=int(tr.get("num_updates_per_batch", 16)),
+        num_evals=max(int(int(tr["num_timesteps"]) / int(tr["eval_every"])), 1),
+        normalize_observations=bool(tr.get("normalize_observations", True)),
+        reward_scaling=float(tr.get("reward_scaling", 1.0)),
+        clipping_epsilon=float(tr.get("clipping_epsilon", 0.3)),
+        network_factory=network_factory,
+        progress_fn=progress_fn,
+        policy_params_fn=policy_params_fn,
+        restore_checkpoint_path=cfg.get("checkpoint") or None,
+        checkpoint_dir=paths["ckpt_dir"],
+    )
+
+    from brax_tracking_tpu.training import checkpoint
+
+    final = os.path.join(model_path, "final")
+    checkpoint.save_params(final, params)
+    logger.log({"final_params": final, **{k: v for k, v in metrics.items()}})
+    logger.finish()
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

@@ -552,7 +552,15 @@ def build_model(
 
     Mirrors the env-construction path of the reference
     (/root/reference/envs/fruitfly.py:54-89) as a host-side offline step.
+
+    ``builtin:<name>`` paths resolve into this package's assets directory.
     """
+    if mjcf_path.startswith("builtin:"):
+        mjcf_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "assets",
+            mjcf_path[len("builtin:"):],
+        )
     if "fruitfly" in os.path.basename(mjcf_path):
         staged = stage_fly_assets(os.path.dirname(mjcf_path))
         mjcf_path = os.path.join(staged, os.path.basename(mjcf_path))
