@@ -26,9 +26,21 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_CACHE = os.path.join(REPO, "BASELINE_MEASURED.json")
 RODENT_XML = "/root/reference/assets/rodent.xml"
-NUM_ENVS = int(os.environ.get("BENCH_ENVS", 2048))
+# BENCH_WORKLOAD selects the BASELINE.json config: rodent (default, cfg 2),
+# fly (cfg 3), rodent_pair (cfg 4)
+WORKLOAD = os.environ.get("BENCH_WORKLOAD", "rodent")
+NUM_ENVS = int(
+    os.environ.get("BENCH_ENVS", {"rodent": 2048, "fly": 2048, "rodent_pair": 1024}[WORKLOAD])
+)
 NUM_STEPS = int(os.environ.get("BENCH_STEPS", 50))
 SUBSTEPS = 5  # physics substeps per control step (configs/dataset env_config)
+
+
+_WORKLOAD_XML = {
+    "rodent": RODENT_XML,
+    "fly": "/root/reference/assets/fruitfly/fruitfly_force_fast.xml",
+    "rodent_pair": "/root/reference/assets/rodent_pair.xml",
+}
 
 
 def measure_mujoco_c_baseline(seconds: float = 10.0) -> float:
@@ -38,7 +50,13 @@ def measure_mujoco_c_baseline(seconds: float = 10.0) -> float:
     import mujoco
     import numpy as np
 
-    m = mujoco.MjModel.from_xml_path(RODENT_XML)
+    xml = _WORKLOAD_XML[WORKLOAD]
+    if WORKLOAD == "fly":
+        from brax_tracking_tpu.physics import spec as bspec
+
+        staged = bspec.stage_fly_assets(os.path.dirname(xml))
+        xml = os.path.join(staged, os.path.basename(xml))
+    m = mujoco.MjModel.from_xml_path(xml)
     m.opt.iterations = 4
     m.opt.ls_iterations = 4
     n_threads = os.cpu_count() or 1
@@ -65,45 +83,93 @@ def measure_mujoco_c_baseline(seconds: float = 10.0) -> float:
 
 
 def get_baseline() -> dict:
+    cache = {}
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
-            return json.load(f)
-    baseline = {
-        "baseline_metric": "MuJoCo C (reference engine core) rodent control-steps/s,"
-        " all host cores threaded",
-        "value": measure_mujoco_c_baseline(),
-        "cpu_count": os.cpu_count(),
-    }
-    with open(BASELINE_CACHE, "w") as f:
-        json.dump(baseline, f, indent=1)
-    return baseline
+            cache = json.load(f)
+        if "value" in cache and WORKLOAD == "rodent":  # legacy single-entry
+            cache = {"rodent": cache}
+    if WORKLOAD not in cache:
+        cache[WORKLOAD] = {
+            "baseline_metric": "MuJoCo C (reference engine core) "
+            f"{WORKLOAD} control-steps/s, all host cores threaded",
+            "value": measure_mujoco_c_baseline(),
+            "cpu_count": os.cpu_count(),
+        }
+        with open(BASELINE_CACHE, "w") as f:
+            json.dump(cache, f, indent=1)
+    return cache[WORKLOAD]
+
+
+def _build_env():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from brax_tracking_tpu.data import clips as C
+    from brax_tracking_tpu.physics import spec as bspec
+
+    def synth_clip(model, T=128, walk=0.1):
+        qpos = np.tile(np.asarray(model.qpos0, np.float64), (T, 1))
+        qpos[:, 2] += 0.01
+        qpos[:, 0] += np.linspace(0.0, walk, T)
+        return C.process_clip(model, jnp.asarray(qpos, jnp.float32))
+
+    if WORKLOAD == "rodent":
+        from brax_tracking_tpu.envs.rodent import RodentSingleClip
+
+        model = bspec.build_model(RODENT_XML, dtype=jnp.float32)
+        return RodentSingleClip(
+            reference_clip=synth_clip(model),
+            center_of_mass="torso",
+            end_eff_names=["foot_L", "foot_R", "hand_L", "hand_R"],
+            body_names=["torso", "pelvis", "skull"],
+            joint_names=["vertebra_1_extend", "hip_L_supinate"],
+            mjcf_path=RODENT_XML,
+        )
+    if WORKLOAD == "fly":
+        from brax_tracking_tpu.envs.fly import FlyTethered
+
+        fly_xml = "/root/reference/assets/fruitfly/fruitfly_force_fast.xml"
+        model = bspec.build_model(
+            fly_xml, free_jnt=False, solver="cg", iterations=4, ls_iterations=4,
+            dtype=jnp.float32,
+        )
+        return FlyTethered(
+            reference_clip=synth_clip(model, walk=0.0),
+            center_of_mass="thorax",
+            end_eff_names=["claw_T1_left", "claw_T1_right"],
+            body_names=["thorax", "head", "abdomen"],
+            joint_names=["coxa_flexion_T1_left", "coxa_flexion_T1_right"],
+            mjcf_path=fly_xml,
+            iterations=4,
+            ls_iterations=4,
+            physics_steps_per_control_step=5,
+        )
+    if WORKLOAD == "rodent_pair":
+        from brax_tracking_tpu.envs.tracking import GenericSingleClip
+
+        pair_xml = "/root/reference/assets/rodent_pair.xml"
+        model = bspec.build_model(pair_xml, dtype=jnp.float32)
+        return GenericSingleClip(
+            reference_clip=synth_clip(model, walk=0.05),
+            mjcf_path=pair_xml,
+            center_of_mass="torso",
+            end_eff_names=["foot_L", "foot_R"],
+            body_names=["torso", "pelvis"],
+            joint_names=["vertebra_1_extend"],
+            strict_name_lookup=False,
+            physics_steps_per_control_step=5,
+        )
+    raise ValueError(f"unknown BENCH_WORKLOAD {WORKLOAD!r}")
 
 
 def measure_ours() -> float:
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/btt_jax_cache")
 
-    from brax_tracking_tpu.data import clips as C
-    from brax_tracking_tpu.envs.rodent import RodentSingleClip
-    from brax_tracking_tpu.physics import spec as bspec
-
-    model = bspec.build_model(RODENT_XML, dtype=jnp.float32)
-    T = 128
-    qpos = np.tile(np.asarray(model.qpos0, np.float64), (T, 1))
-    qpos[:, 2] += 0.01
-    qpos[:, 0] += np.linspace(0.0, 0.1, T)
-    clip = C.process_clip(model, jnp.asarray(qpos, jnp.float32))
-    env = RodentSingleClip(
-        reference_clip=clip,
-        center_of_mass="torso",
-        end_eff_names=["foot_L", "foot_R", "hand_L", "hand_R"],
-        body_names=["torso", "pelvis", "skull"],
-        joint_names=["vertebra_1_extend", "hip_L_supinate"],
-        mjcf_path=RODENT_XML,
-    )
+    env = _build_env()
 
     reset = jax.jit(jax.vmap(env.reset))
     keys = jax.random.split(jax.random.PRNGKey(0), NUM_ENVS)
@@ -139,10 +205,13 @@ def measure_ours() -> float:
 def main():
     ours = measure_ours()
     baseline = get_baseline()
+    metric = "env_steps_per_s_per_chip"
+    if WORKLOAD != "rodent":
+        metric += f"_{WORKLOAD}"
     print(
         json.dumps(
             {
-                "metric": "env_steps_per_s_per_chip",
+                "metric": metric,
                 "value": round(ours, 1),
                 "unit": "env-steps/s",
                 "vs_baseline": round(ours / baseline["value"], 3),

@@ -25,7 +25,10 @@ def _register_defaults():
     from brax_tracking_tpu.envs.rodent import RodentMultiClip, RodentSingleClip
     from brax_tracking_tpu.envs.tracking import GenericSingleClip
 
+    from brax_tracking_tpu.envs.tracking import GenericMultiClip
+
     register_environment("single_clip_tracking", GenericSingleClip)
+    register_environment("multi_clip_tracking", GenericMultiClip)
     register_environment("fly_single_clip", FlyTethered)
     register_environment("fly_single_clip_freejnt", FlyFreeJoint)
     register_environment("rodent_single_clip", RodentSingleClip)

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from brax_tracking_tpu.data.clips import ReferenceClip
 from brax_tracking_tpu.envs.base import State
-from brax_tracking_tpu.envs.tracking import TrackingEnv
+from brax_tracking_tpu.envs.tracking import MultiClipMixin as TrackingMultiClipMixin, TrackingEnv
 from brax_tracking_tpu.physics import spec as bspec
 
 _DEF_RODENT_XML = "/root/reference/assets/rodent.xml"
@@ -82,45 +82,13 @@ class RodentSingleClip(TrackingEnv):
         )
 
 
-class RodentMultiClip(RodentSingleClip):
+class RodentMultiClip(TrackingMultiClipMixin, RodentSingleClip):
     """Multi-clip rodent tracking: per-env clip selection at reset.
 
-    ``reference_clip`` must be a stacked ReferenceClip with leading clip
-    axis (data.clips.stack_clips). The active clip index lives in
-    ``state.info["clip_idx"]``; rewards/obs index through it.
+    Implements the capability the reference left as a stub
+    (/root/reference/envs/rodent.py:377-378); see tracking.MultiClipMixin.
     """
 
     def __init__(self, reference_clips: ReferenceClip, **kwargs):
-        self._all_clips = reference_clips
-        n_clips = reference_clips.joints.shape[0]
-        self._n_clips = n_clips
-        # initialize parent with clip 0; per-step indexing swaps clips
-        clip0 = jax.tree.map(
-            lambda x: None if x is None else x[0],
-            reference_clips,
-            is_leaf=lambda x: x is None,
-        )
+        clip0 = self._init_multiclip(reference_clips)
         super().__init__(reference_clip=clip0, **kwargs)
-
-    def _select_clip(self, clip_idx: jax.Array) -> ReferenceClip:
-        return jax.tree.map(
-            lambda x: None if x is None else x[clip_idx],
-            self._all_clips,
-            is_leaf=lambda x: x is None,
-        )
-
-    def reset(self, rng: jax.Array) -> State:
-        rng, rng_clip = jax.random.split(rng)
-        clip_idx = jax.random.randint(rng_clip, (), 0, self._n_clips)
-        self._ref_traj = self._select_clip(clip_idx)
-        state = super().reset(rng)
-        state.info["clip_idx"] = clip_idx
-        return state
-
-    def step(self, state: State, action: jax.Array) -> State:
-        # bind the env's clip view to this state's clip index; all consumers
-        # below read self._ref_traj (traced gather, no recompilation)
-        self._ref_traj = self._select_clip(state.info["clip_idx"])
-        new_state = super().step(state, action)
-        new_state.info["clip_idx"] = state.info["clip_idx"]
-        return new_state

@@ -390,3 +390,65 @@ class GenericSingleClip(TrackingEnv):
         super().__init__(
             model=model, reference_clip=reference_clip, free_jnt=free_jnt, **kwargs
         )
+
+
+class MultiClipMixin:
+    """Per-env clip selection over a stacked ReferenceClip.
+
+    Implements the capability the reference left as a stub
+    (/root/reference/envs/rodent.py:377 RodentMultiClip) and BASELINE.json
+    config 5 requires. The active clip index rides in
+    ``state.info["clip_idx"]``; every reward/obs consumer reads the env's
+    clip view, which is bound for exactly the duration of the traced call
+    (saved/restored so no tracer leaks into the shared env object).
+    """
+
+    def _init_multiclip(self, reference_clips: ReferenceClip) -> ReferenceClip:
+        self._all_clips = reference_clips
+        self._n_clips = int(reference_clips.joints.shape[0])
+        return jax.tree.map(
+            lambda x: None if x is None else x[0],
+            reference_clips,
+            is_leaf=lambda x: x is None,
+        )
+
+    def _select_clip(self, clip_idx: jax.Array) -> ReferenceClip:
+        return jax.tree.map(
+            lambda x: None if x is None else x[clip_idx],
+            self._all_clips,
+            is_leaf=lambda x: x is None,
+        )
+
+    def _with_clip(self, clip: ReferenceClip, fn):
+        old = self._ref_traj
+        self._ref_traj = clip
+        try:
+            return fn()
+        finally:
+            self._ref_traj = old
+
+    def reset(self, rng: jax.Array) -> State:
+        rng, rng_clip = jax.random.split(rng)
+        clip_idx = jax.random.randint(rng_clip, (), 0, self._n_clips)
+        state = self._with_clip(
+            self._select_clip(clip_idx), lambda: super(MultiClipMixin, self).reset(rng)
+        )
+        state.info["clip_idx"] = clip_idx
+        return state
+
+    def step(self, state: State, action: jax.Array) -> State:
+        clip_idx = state.info["clip_idx"]
+        new_state = self._with_clip(
+            self._select_clip(clip_idx),
+            lambda: super(MultiClipMixin, self).step(state, action),
+        )
+        new_state.info["clip_idx"] = clip_idx
+        return new_state
+
+
+class GenericMultiClip(MultiClipMixin, GenericSingleClip):
+    """Registry-constructible multi-clip tracking env."""
+
+    def __init__(self, reference_clip: ReferenceClip, **kwargs):
+        clip0 = self._init_multiclip(reference_clip)
+        super().__init__(reference_clip=clip0, **kwargs)

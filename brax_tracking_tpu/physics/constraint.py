@@ -236,53 +236,56 @@ def make_constraint(m: M.Model, d: M.Data) -> M.Data:
 
         jvel = jnp.einsum("cnv,v->cn", jac, d.qvel)  # (ncon, 3)
 
-        elliptic = m.opt.cone == M.CONE_ELLIPTIC
-        for slot in range(ncon):
-            row0 = int(layout.con_rows[slot])
-            dim = int(layout.con_dim[slot])
-            mu = friction[slot, 0]
-            if dim == 1 or elliptic:
-                # normal row
-                aref_n = -b[slot] * jvel[slot, 0] - k[slot] * imp[slot] * pos_r[slot]
-                r_n = jnp.maximum((1 - imp[slot]) / imp[slot] * invweight[slot], M.MINVAL)
-                efc_J = efc_J.at[row0].set(jac[slot, 0])
-                efc_D = efc_D.at[row0].set(1.0 / r_n)
-                efc_aref = efc_aref.at[row0].set(aref_n)
-                efc_pos = efc_pos.at[row0].set(dist[slot])
-                efc_margin = efc_margin.at[row0].set(includemargin[slot])
-                # elliptic friction rows
-                for i in range(1, dim):
-                    fr = friction[slot, i]
-                    invw_f = invweight[slot] / impratio * (mu / fr) ** 2 * (mu * mu)
-                    # friction rows: velocity-only reference
-                    aref_f = -b[slot] * jvel[slot, i]
-                    r_f = jnp.maximum(
-                        (1 - imp[slot]) / imp[slot] * invweight[slot] / impratio,
-                        M.MINVAL,
-                    )
-                    efc_J = efc_J.at[row0 + i].set(jac[slot, i])
-                    efc_D = efc_D.at[row0 + i].set(1.0 / r_f)
-                    efc_aref = efc_aref.at[row0 + i].set(aref_f)
-                    efc_pos = efc_pos.at[row0 + i].set(dist[slot])
-                    efc_margin = efc_margin.at[row0 + i].set(includemargin[slot])
-            else:
-                # pyramidal: rows Jn +- mu_i*Jt_i (order +t1,-t1,+t2,-t2)
-                for i in range(dim - 1):
-                    mu_i = friction[slot, i]
-                    for s_i, sgn in enumerate((1.0, -1.0)):
-                        row = row0 + 2 * i + s_i
-                        jrow = jac[slot, 0] + sgn * mu_i * jac[slot, i + 1]
-                        vel = jvel[slot, 0] + sgn * mu_i * jvel[slot, i + 1]
-                        aref_p = -b[slot] * vel - k[slot] * imp[slot] * pos_r[slot]
-                        invw_p = 2 * mu_i * mu_i * (1 + mu_i * mu_i) * invweight[slot]
-                        r_p = jnp.maximum(
-                            (1 - imp[slot]) / imp[slot] * invw_p, M.MINVAL
-                        )
-                        efc_J = efc_J.at[row].set(jrow)
-                        efc_D = efc_D.at[row].set(1.0 / r_p)
-                        efc_aref = efc_aref.at[row].set(aref_p)
-                        efc_pos = efc_pos.at[row].set(dist[slot])
-                        efc_margin = efc_margin.at[row].set(includemargin[slot])
+        # Vectorized row assembly over the static layout: every contact row's
+        # (slot, kind, friction-dim) is a compile-time constant, so the whole
+        # block is a handful of gathers + one contiguous slice write (the old
+        # per-slot Python loop made compile time scale with ncon and lowered
+        # to scatter chains on TPU). Numerics are identical to the loop form
+        # validated against the C oracle (incl. the elliptic friction-row
+        # regularizer invweight/impratio).
+        c_rows = np.nonzero(layout.row_con >= 0)[0]
+        row0 = int(c_rows[0])
+        assert np.array_equal(c_rows, np.arange(row0, row0 + c_rows.size))
+        slot = jnp.asarray(layout.row_con[c_rows])
+        kdim = layout.row_fdim[c_rows]
+        rtype = layout.row_type[c_rows]
+        is_pyr = jnp.asarray(rtype == ROW_CON_PYRAMID)
+        # pyramid decomposition of the fdim index: pairs (+t_i, -t_i)
+        i_pyr = kdim // 2
+        sgn = jnp.asarray(1.0 - 2.0 * (kdim % 2), dtype)
+        k_ell = jnp.asarray(np.where(rtype == ROW_CON_PYRAMID, 0, kdim))
+        i_tan = jnp.asarray(np.where(rtype == ROW_CON_PYRAMID, i_pyr + 1, 0))
+
+        mu_i = friction[slot, jnp.asarray(i_pyr)]
+        jac_sel = jac[slot, k_ell]  # (nrows, nv): elliptic row's jacobian
+        jrow = jnp.where(
+            is_pyr[:, None],
+            jac[slot, 0] + (sgn * mu_i)[:, None] * jac[slot, i_tan],
+            jac_sel,
+        )
+        vel = jnp.where(
+            is_pyr,
+            jvel[slot, 0] + sgn * mu_i * jvel[slot, i_tan],
+            jvel[slot, k_ell],
+        )
+        has_pos_term = jnp.asarray(rtype != ROW_CON_FRICTION)
+        aref = -b[slot] * vel - jnp.where(
+            has_pos_term, k[slot] * imp[slot] * pos_r[slot], 0.0
+        )
+        invw_pyr = 2.0 * mu_i * mu_i * (1.0 + mu_i * mu_i) * invweight[slot]
+        invw_ell = jnp.where(
+            jnp.asarray(kdim == 0), invweight[slot], invweight[slot] / impratio
+        )
+        invw = jnp.where(is_pyr, invw_pyr, invw_ell)
+        r_reg = jnp.maximum((1 - imp[slot]) / imp[slot] * invw, M.MINVAL)
+
+        efc_J = jax.lax.dynamic_update_slice(efc_J, jrow, (row0, 0))
+        efc_D = jax.lax.dynamic_update_slice(efc_D, 1.0 / r_reg, (row0,))
+        efc_aref = jax.lax.dynamic_update_slice(efc_aref, aref, (row0,))
+        efc_pos = jax.lax.dynamic_update_slice(efc_pos, dist[slot], (row0,))
+        efc_margin = jax.lax.dynamic_update_slice(
+            efc_margin, includemargin[slot], (row0,)
+        )
 
     return d.replace(
         efc_J=efc_J,
