@@ -215,7 +215,9 @@ def _linesearch(m, meta, layout, friction, exists_row, exists_con, ctx, p, jar_p
     hi = jnp.min(jnp.where(pos, cand, cand[-1]))
     lo = jnp.max(jnp.where(~pos & (cand < hi), cand, 0.0))
     alpha = jnp.minimum(guess, hi)
-    for _ in range(max(m.opt.ls_iterations, 1)):
+
+    def ls_iter(carry, _):
+        alpha, lo, hi = carry
         dv, ddv = dphi(alpha[None])
         dv, ddv = dv[0], ddv[0]
         lo = jnp.where(dv < 0, alpha, lo)
@@ -223,6 +225,11 @@ def _linesearch(m, meta, layout, friction, exists_row, exists_con, ctx, p, jar_p
         newton = alpha - dv / jnp.maximum(ddv, M.MINVAL)
         inside = (newton > lo) & (newton < hi)
         alpha = jnp.where(inside, newton, 0.5 * (lo + hi))
+        return (alpha, lo, hi), None
+
+    (alpha, _, _), _ = jax.lax.scan(
+        ls_iter, (alpha, lo, hi), (), length=max(int(m.opt.ls_iterations), 1)
+    )
     return alpha
 
 
@@ -265,8 +272,8 @@ def solve(m: M.Model, d: M.Data) -> M.Data:
 
     tol = m.opt.tolerance.astype(dtype) * m.opt.meaninertia.astype(dtype) * max(1, m.nv)
 
-    done = jnp.zeros((), bool)
-    for _ in range(max(m.opt.iterations, 1)):
+    def cg_iter(carry, _):
+        ctx, p, done = carry
         jar_p = d.efc_J @ p
         mp = d.qM @ p
         alpha = _linesearch(
@@ -284,11 +291,18 @@ def solve(m: M.Model, d: M.Data) -> M.Data:
         p_new = -new_ctx.mgrad + beta * p
         step_done = (improvement < tol) | (gradient < tol)
         # freeze after convergence
-        ctx = jax.tree.map(
-            lambda new, old: jnp.where(done, old, new), new_ctx, ctx
-        )
+        ctx = jax.tree.map(lambda new, old: jnp.where(done, old, new), new_ctx, ctx)
         p = jnp.where(done, p, p_new)
-        done = done | step_done
+        return (ctx, p, done | step_done), None
+
+    # lax.scan, not a Python unroll: models like rodent_pair ask for 100
+    # iterations and an unrolled graph makes compile time scale with it
+    (ctx, p, _), _ = jax.lax.scan(
+        cg_iter,
+        (ctx, p, jnp.zeros((), bool)),
+        (),
+        length=max(int(m.opt.iterations), 1),
+    )
 
     qfrc_constraint = d.efc_J.T @ ctx.force
     return d.replace(
