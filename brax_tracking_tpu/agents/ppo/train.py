@@ -95,6 +95,7 @@ def train(
     restore_checkpoint_path: Optional[str] = None,
     checkpoint_dir: Optional[str] = None,
     mesh: Optional[dmesh.TrainMesh] = None,
+    epoch_mode: str = "fused",
 ):
     """PPO training. Returns (make_policy, (normalizer, policy_params), metrics).
 
@@ -213,22 +214,30 @@ def train(
         optimizer_state, params, key = carry
         key, key_perm, key_grad = jax.random.split(key, 3)
 
-        def convert_data(x):
-            x = jax.random.permutation(key_perm, x)
-            x = jnp.reshape(x, (num_minibatches, -1) + x.shape[1:])
-            return x
+        # Permute INDICES and gather one minibatch per scan step instead of
+        # materializing a fully-shuffled copy of the (multi-GB) batch: same
+        # rows per minibatch as the reference's permutation
+        # (custom_ppo.py:272-277 — jax permutes arrays via exactly this
+        # index permutation), but the peak memory is one minibatch, which is
+        # what lets the 2048-env config fit a single chip's HBM.
+        n_rows = data.discount.shape[0]
+        perm = jax.random.permutation(key_perm, n_rows)
+        minibatch_idx = jnp.reshape(perm, (num_minibatches, -1))
 
-        shuffled_data = jax.tree_util.tree_map(convert_data, data)
+        def gathered_step(carry, idx):
+            mb = jax.tree_util.tree_map(lambda x: x[idx], data)
+            return minibatch_step(carry, mb, normalizer_params=normalizer_params)
+
         (optimizer_state, params, _), metrics = jax.lax.scan(
-            functools.partial(minibatch_step, normalizer_params=normalizer_params),
+            gathered_step,
             (optimizer_state, params, key_grad),
-            shuffled_data,
+            minibatch_idx,
             length=num_minibatches,
         )
         return (optimizer_state, params, key), metrics
 
-    def training_step(carry, unused_t):
-        training_state, state, key = carry
+    def rollout_step(training_state, state, key):
+        """Rollout + reshape + normalizer update (the acting half)."""
         key_sgd, key_generate_unroll, new_key = jax.random.split(key, 3)
 
         policy = make_policy(
@@ -245,39 +254,60 @@ def train(
                 current_key,
                 unroll_length,
                 extra_fields=("truncation",),
+                compact=True,
             )
-            return (next_state, next_key), data
+            # bootstrap observation for this unroll segment: the state after
+            # its last step (== the transition's last next_observation)
+            return (next_state, next_key), (data, next_state.obs)
 
-        (state, _), data = jax.lax.scan(
+        (state, _), (data, boot_obs) = jax.lax.scan(
             f,
             (state, key_generate_unroll),
             (),
             length=batch_size * num_minibatches // num_envs,
         )
         # [n_unrolls, T, local_envs, ...] -> [rows, T, ...]
+        # (explicit row count: -1 breaks on the compact 0-width placeholders)
         data = jax.tree_util.tree_map(lambda x: jnp.swapaxes(x, 1, 2), data)
         data = jax.tree_util.tree_map(
-            lambda x: jnp.reshape(x, (-1,) + x.shape[2:]), data
+            lambda x: jnp.reshape(x, (x.shape[0] * x.shape[1],) + x.shape[2:]),
+            data,
         )
+        # re-attach the (rows, 1, obs) bootstrap so the loss's
+        # next_observation[-1] sees exactly the reference value
+        boot_obs = jnp.reshape(boot_obs, (-1,) + boot_obs.shape[2:])
+        data = data.replace(next_observation=boot_obs[:, None, :])
 
         normalizer_params = running_statistics.update(
             training_state.normalizer_params,
             data.observation,
             pmean_axis_name=axis,
         )
+        return state, data, normalizer_params, key_sgd, new_key
 
+    def learn_step(training_state, data, normalizer_params, key_sgd):
+        """Minibatched policy/value updates (the learner half)."""
         (optimizer_state, params, _), metrics = jax.lax.scan(
             functools.partial(sgd_step, data=data, normalizer_params=normalizer_params),
             (training_state.optimizer_state, training_state.params, key_sgd),
             (),
             length=num_updates_per_batch,
         )
-
         new_training_state = TrainingState(
             optimizer_state=optimizer_state,
             params=params,
             normalizer_params=normalizer_params,
             env_steps=training_state.env_steps + env_step_per_training_step,
+        )
+        return new_training_state, metrics
+
+    def training_step(carry, unused_t):
+        training_state, state, key = carry
+        state, data, normalizer_params, key_sgd, new_key = rollout_step(
+            training_state, state, key
+        )
+        new_training_state, metrics = learn_step(
+            training_state, data, normalizer_params, key_sgd
         )
         return (new_training_state, state, new_key), metrics
 
@@ -304,14 +334,71 @@ def train(
         )
     )
 
+    # --- split mode: rollout and learner as two device programs ----------
+    # Same math/collectives as the fused epoch, but each training step is
+    # two smaller executables with one host sync between them. Exists
+    # because some deployment targets choke on the monolithic epoch program
+    # (e.g. remote-compile services); also halves peak program size.
+    def _rollout_sm(training_state, state, key):
+        key = key[0]
+        state, data, normalizer_params, key_sgd, new_key = rollout_step(
+            training_state, state, key
+        )
+        return state, data, normalizer_params, key_sgd[None], new_key[None]
+
+    def _learn_sm(training_state, data, normalizer_params, key_sgd):
+        new_training_state, metrics = learn_step(
+            training_state, data, normalizer_params, key_sgd[0]
+        )
+        metrics = jax.tree_util.tree_map(jnp.mean, metrics)
+        metrics = jax.lax.pmean(metrics, axis)
+        return new_training_state, metrics
+
+    rollout_exec = jax.jit(
+        shard_map_compat(
+            _rollout_sm,
+            mesh=mesh.mesh,
+            in_specs=(P(), P(axis), P(axis)),
+            out_specs=(P(axis), P(axis), P(), P(axis), P(axis)),
+        )
+    )
+    learn_exec = jax.jit(
+        shard_map_compat(
+            _learn_sm,
+            mesh=mesh.mesh,
+            in_specs=(P(), P(axis), P(), P(axis)),
+            out_specs=(P(), P()),
+        )
+    )
+
+    def training_epoch_split(training_state, state, keys):
+        all_metrics = []
+        for _ in range(num_training_steps_per_epoch):
+            state, data, normalizer_params, key_sgd, keys = rollout_exec(
+                training_state, state, keys
+            )
+            training_state, metrics = learn_exec(
+                training_state, data, normalizer_params, key_sgd
+            )
+            all_metrics.append(metrics)
+        metrics = jax.tree_util.tree_map(
+            lambda *xs: jnp.mean(jnp.stack(xs)), *all_metrics
+        )
+        return training_state, state, metrics
+
     training_walltime = 0.0
 
     def training_epoch_with_timing(training_state, env_state, key):
         nonlocal training_walltime
         t = time.time()
-        training_state, env_state, metrics = training_epoch(
-            training_state, env_state, key
-        )
+        if epoch_mode == "split":
+            training_state, env_state, metrics = training_epoch_split(
+                training_state, env_state, key
+            )
+        else:
+            training_state, env_state, metrics = training_epoch(
+                training_state, env_state, key
+            )
         metrics = jax.tree_util.tree_map(jnp.mean, metrics)
         jax.block_until_ready(metrics)
 

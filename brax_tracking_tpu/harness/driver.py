@@ -236,6 +236,7 @@ def main(argv=None) -> Dict:
         policy_params_fn=policy_params_fn,
         restore_checkpoint_path=cfg.get("checkpoint") or None,
         checkpoint_dir=paths["ckpt_dir"],
+        epoch_mode=tr.get("epoch_mode", "fused"),
     )
 
     from brax_tracking_tpu.training import checkpoint
