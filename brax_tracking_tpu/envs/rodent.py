@@ -89,6 +89,6 @@ class RodentMultiClip(TrackingMultiClipMixin, RodentSingleClip):
     (/root/reference/envs/rodent.py:377-378); see tracking.MultiClipMixin.
     """
 
-    def __init__(self, reference_clips: ReferenceClip, **kwargs):
-        clip0 = self._init_multiclip(reference_clips)
+    def __init__(self, reference_clip: ReferenceClip, **kwargs):
+        clip0 = self._init_multiclip(reference_clip)
         super().__init__(reference_clip=clip0, **kwargs)

@@ -436,6 +436,21 @@ class MultiClipMixin:
         state.info["clip_idx"] = clip_idx
         return state
 
+    def reset_to_frame(
+        self, start_frame: jax.Array, rng1: jax.Array, rng2: jax.Array
+    ) -> State:
+        # deterministic eval path (RenderRolloutWrapperTracking) pins clip 0,
+        # mirroring how it pins frame 0
+        clip_idx = jnp.zeros((), jnp.int32)
+        state = self._with_clip(
+            self._select_clip(clip_idx),
+            lambda: super(MultiClipMixin, self).reset_to_frame(
+                start_frame, rng1, rng2
+            ),
+        )
+        state.info["clip_idx"] = clip_idx
+        return state
+
     def step(self, state: State, action: jax.Array) -> State:
         clip_idx = state.info["clip_idx"]
         new_state = self._with_clip(

@@ -30,8 +30,9 @@ import numpy as np
 _logger = logging.getLogger(__name__)
 
 
-def _build_clip(cfg: Dict, env_model):
-    """Load-or-build the ReferenceClip with the reference's pickle cache."""
+def _build_one_clip(cfg: Dict, env_model, clip_idx: int):
+    """Load-or-build one ReferenceClip with the reference's pickle cache
+    keyed by clip index (main.py:57-74)."""
     import jax.numpy as jnp
 
     from brax_tracking_tpu.data import clips as C
@@ -39,7 +40,7 @@ def _build_clip(cfg: Dict, env_model):
     ds = cfg["dataset"]
     clip_dir = os.path.join(cfg["paths"]["data_dir"], "clips")
     os.makedirs(clip_dir, exist_ok=True)
-    cache = os.path.join(clip_dir, f"{ds['clip_idx']}.p")
+    cache = os.path.join(clip_dir, f"{clip_idx}.p")
     if os.path.exists(cache):
         return C.load_clip(cache)
     dt = 1.0 / ds.get("mocap_hz", 50)
@@ -47,19 +48,38 @@ def _build_clip(cfg: Dict, env_model):
         clip = C.process_clip_to_train(
             ds["stac_path"],
             env_model,
-            start_step=ds["clip_idx"] * ds["clip_length"],
+            start_step=clip_idx * ds["clip_length"],
             clip_length=ds["clip_length"],
             dt=dt,
         )
     else:
-        _logger.warning("dataset.stac_path empty -> synthetic demo clip")
+        _logger.warning("dataset.stac_path empty -> synthetic demo clip %d", clip_idx)
         T = ds["clip_length"]
         qpos = np.tile(np.asarray(env_model.qpos0, np.float64), (T, 1))
         qpos[:, 2] += 0.01
-        qpos[:, 0] += np.linspace(0.0, 0.2, T)
+        # distinct synthetic clips walk in distinct directions
+        ang = 2.0 * np.pi * clip_idx / max(int(ds.get("n_clips", 1)), 1)
+        qpos[:, 0] += np.cos(ang) * np.linspace(0.0, 0.2, T)
+        qpos[:, 1] += np.sin(ang) * np.linspace(0.0, 0.2, T)
         clip = C.process_clip(env_model, jnp.asarray(qpos, jnp.float32), dt=dt)
     C.save_clip(cache, clip)
     return clip
+
+
+def _build_clip(cfg: Dict, env_model):
+    """Single clip, or a stacked multi-clip dataset when dataset.n_clips > 1
+    (BASELINE.json config 5; the reference left this a stub at
+    envs/rodent.py:377)."""
+    from brax_tracking_tpu.data import clips as C
+
+    ds = cfg["dataset"]
+    n_clips = int(ds.get("n_clips", 1))
+    if n_clips <= 1:
+        return _build_one_clip(cfg, env_model, int(ds["clip_idx"]))
+    start = int(ds.get("clip_idx", 0))
+    return C.stack_clips(
+        [_build_one_clip(cfg, env_model, start + i) for i in range(n_clips)]
+    )
 
 
 def _eval_callback(cfg: Dict, env, logger, model_path: str):

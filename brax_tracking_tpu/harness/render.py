@@ -2,9 +2,14 @@
 
 Capability parity with /root/reference/main.py:279-325: build the
 ``<replicate>`` pair model, strip free joints for tethered variants, replay
-qposes_ref ++ qposes_rollout through MuJoCo C's mj_forward + Renderer, and
-encode an MP4 with imageio. Pure host-side tooling — never in the hot path;
-requires a GL stack (OSMesa/EGL); callers catch failures and skip.
+qposes_ref ++ qposes_rollout through MuJoCo C's mj_forward, rasterize, and
+encode video. Pure host-side tooling — never in the hot path.
+
+Backends: ``mujoco.Renderer`` (GL) when a GL stack exists, else the
+first-party native C++ software rasterizer (native/rasterizer.cc via
+native/softraster.py) — headless TPU hosts have no OSMesa/EGL. Encoding:
+MP4 via imageio/ffmpeg when available, else first-party MJPEG AVI
+(native/video.py).
 """
 
 from __future__ import annotations
@@ -38,7 +43,6 @@ def render_rollout_vs_reference(
     frame_stride: Optional[int] = None,
 ) -> str:
     """Renders [qpos_ref ++ qpos_rollout] through the pair model."""
-    import imageio
     import mujoco
 
     spec = mujoco.MjSpec.from_file(pair_mjcf)
@@ -58,7 +62,7 @@ def render_rollout_vs_reference(
     qposes_rollout = qposes_rollout[::frame_stride]
     T = min(len(qposes_ref), len(qposes_rollout))
 
-    renderer = mujoco.Renderer(mj_model, height=height, width=width)
+    renderer = make_renderer(mj_model, height=height, width=width)
     frames = []
     for t in range(T):
         mj_data.qpos = np.concatenate([qposes_ref[t], qposes_rollout[t]])
@@ -67,7 +71,24 @@ def render_rollout_vs_reference(
         frames.append(renderer.render())
     renderer.close()
 
-    with imageio.get_writer(out_path, fps=fps) as w:
-        for f in frames:
-            w.append_data(f)
-    return out_path
+    from brax_tracking_tpu.native.video import save_video
+
+    return save_video(out_path, frames, fps=fps)
+
+
+def make_renderer(mj_model, height: int = 480, width: int = 640):
+    """GL renderer when a GL stack exists, else the native software one."""
+    import mujoco
+
+    try:
+        r = mujoco.Renderer(mj_model, height=height, width=width)
+        # surface a GL failure now, not on first render()
+        d = mujoco.MjData(mj_model)
+        mujoco.mj_forward(mj_model, d)
+        r.update_scene(d)
+        r.render()
+        return r
+    except Exception:
+        from brax_tracking_tpu.native.softraster import NativeRenderer
+
+        return NativeRenderer(mj_model, height=height, width=width)
