@@ -118,6 +118,9 @@ def _build_env():
         from brax_tracking_tpu.envs.rodent import RodentSingleClip
 
         model = bspec.build_model(RODENT_XML, dtype=jnp.float32)
+        # iterations/ls_iterations = 4: the reference's training env_config
+        # (configs/dataset env_args, fruitfly.py:70-79) and the MuJoCo C
+        # baseline measurement above both use 4 — not the XML default of 6.
         return RodentSingleClip(
             reference_clip=synth_clip(model),
             center_of_mass="torso",
@@ -125,6 +128,8 @@ def _build_env():
             body_names=["torso", "pelvis", "skull"],
             joint_names=["vertebra_1_extend", "hip_L_supinate"],
             mjcf_path=RODENT_XML,
+            iterations=4,
+            ls_iterations=4,
         )
     if WORKLOAD == "fly":
         from brax_tracking_tpu.envs.fly import FlyTethered
@@ -159,6 +164,8 @@ def _build_env():
             joint_names=["vertebra_1_extend"],
             strict_name_lookup=False,
             physics_steps_per_control_step=5,
+            iterations=4,
+            ls_iterations=4,
         )
     raise ValueError(f"unknown BENCH_WORKLOAD {WORKLOAD!r}")
 

@@ -167,4 +167,11 @@ def save_clip(path: str, clip: ReferenceClip) -> None:
 
 def load_clip(path: str) -> ReferenceClip:
     with open(path, "rb") as f:
-        return pickle.load(f)
+        clip = pickle.load(f)
+    # device_get at save time (and numpy-unpickling of jax arrays) leaves
+    # numpy leaves, which a jitted env cannot index with tracers — rehydrate
+    return jax.tree.map(
+        lambda x: None if x is None else jnp.asarray(x),
+        clip,
+        is_leaf=lambda x: x is None,
+    )

@@ -99,7 +99,11 @@ class PipelineEnv(Env):
         def substep(d, _):
             return pstep.step(self._model, d), None
 
-        data, _ = jax.lax.scan(substep, data, None, length=self._n_frames)
+        # unroll the (small) substep count: cross-substep fusion removes the
+        # scan carry round-trip through HBM for the full Data pytree
+        data, _ = jax.lax.scan(
+            substep, data, None, length=self._n_frames, unroll=self._n_frames <= 8
+        )
         return data
 
 

@@ -101,7 +101,12 @@ class TrackingEnv(PipelineEnv):
         self._free_jnt = free_jnt
         self._has_free_root = model.njnt > 0 and model.jnt_type[0] == M.JNT_FREE
         self._mocap_hz = mocap_hz
-        self._ref_traj = reference_clip
+        # numpy leaves (e.g. a pickled clip cache) break tracer indexing
+        self._ref_traj = jax.tree.map(
+            lambda x: None if x is None else jnp.asarray(x),
+            reference_clip,
+            is_leaf=lambda x: x is None,
+        )
         self._ref_len = ref_len
         self._too_far_dist = too_far_dist
         self._bad_pose_dist = bad_pose_dist

@@ -205,6 +205,78 @@ def _cholesky_factor_vmap(axis_size, in_batched, qM):
     return jax.vmap(jax.scipy.linalg.cholesky)(qM), True
 
 
+def _inverse_kernel(nv: int, a_ref, o_ref):
+    """In-place SPD inversion by the sweep operator; (n, n, LANE) tile.
+
+    Per step k (verified convention): rank-1 downdate by outer(col_k, row_k)/d,
+    then row_k <- row_k/d, col_k <- -col_k/d, diag <- 1/d. After sweeping all
+    nv pivots the tile holds A^-1. Same per-step cost as _factor_kernel, so
+    one inversion ~= one factorization — and it turns every downstream
+    M^-1 rhs into a single (MXU) matmul instead of an nv-step substitution.
+    """
+    o_ref[:] = a_ref[:]
+
+    def body(k, _):
+        row = o_ref[pl.ds(k, 1)][0]  # (n, LANE)
+        col = o_ref[:, pl.ds(k, 1)][:, 0]  # (n, LANE)
+        dinv = 1.0 / o_ref[pl.ds(k, 1), pl.ds(k, 1)][0]  # (1, LANE)
+        row_d = row * dinv
+        o_ref[:] = o_ref[:] - col[:, None, :] * row_d[None, :, :]
+        o_ref[pl.ds(k, 1)] = row_d[None]
+        o_ref[:, pl.ds(k, 1)] = -(col * dinv)[:, None, :]
+        o_ref[pl.ds(k, 1), pl.ds(k, 1)] = dinv[None]
+        return 0
+
+    jax.lax.fori_loop(0, nv, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def inverse_batched(qM: jax.Array, interpret: bool = False) -> jax.Array:
+    """(B, nv, nv) SPD -> (B, nv, nv) inverse via the sweep kernel."""
+    B, nv, _ = qM.shape
+    n = _round_up(nv, _SUBLANE)
+    Bp = _round_up(B, LANE)
+    a = _pad_spd(qM, n)
+    if Bp != B:
+        a = jnp.concatenate([a, jnp.tile(a[-1:], (Bp - B, 1, 1))], axis=0)
+    at = jnp.transpose(a, (1, 2, 0))
+    ot = pl.pallas_call(
+        functools.partial(_inverse_kernel, nv),
+        grid=(Bp // LANE,),
+        in_specs=[
+            pl.BlockSpec((n, n, LANE), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (n, n, LANE), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, n, Bp), qM.dtype),
+        interpret=interpret,
+    )(at)
+    return jnp.transpose(ot, (2, 0, 1))[:B, :nv, :nv]
+
+
+@jax.custom_batching.custom_vmap
+def spd_inverse(qM: jax.Array) -> jax.Array:
+    """(nv, nv) SPD -> inverse (Cholesky-based on the unbatched/CPU path)."""
+    c = jax.scipy.linalg.cho_factor(qM)
+    return jax.scipy.linalg.cho_solve(c, jnp.eye(qM.shape[0], dtype=qM.dtype))
+
+
+@spd_inverse.def_vmap
+def _spd_inverse_vmap(axis_size, in_batched, qM):
+    (batched,) = in_batched
+    if not batched:
+        return spd_inverse(qM), False
+    if _use_pallas(qM):
+        return inverse_batched(qM), True
+
+    def _one(q):
+        c = jax.scipy.linalg.cho_factor(q)
+        return jax.scipy.linalg.cho_solve(c, jnp.eye(q.shape[0], dtype=q.dtype))
+
+    return jax.vmap(_one)(qM), True
+
+
 @jax.custom_batching.custom_vmap
 def cholesky_solve(U: jax.Array, b: jax.Array) -> jax.Array:
     """Solve (U^T U) x = b; U upper, b (nv,)."""

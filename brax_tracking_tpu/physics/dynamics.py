@@ -58,13 +58,28 @@ def factor_m(m: M.Model, d: M.Data) -> M.Data:
     return d.replace(qLD=ops_chol.cholesky_factor(d.qM))
 
 
+def invert_m(m: M.Model, d: M.Data) -> M.Data:
+    """Dense inverse of qM (sweep-operator Pallas kernel when batched on TPU).
+
+    One inversion costs about one factorization, and it turns every
+    downstream M^-1 rhs (qacc_smooth + one per CG iteration in the
+    constraint solver) into a single batched matmul instead of an nv-step
+    triangular substitution — the solver's hot path on TPU.
+    """
+    from brax_tracking_tpu.ops import cholesky as ops_chol
+
+    return d.replace(qMinv=ops_chol.spd_inverse(d.qM))
+
+
 def solve_m(m: M.Model, d: M.Data, rhs: jax.Array) -> jax.Array:
-    """Solves qM x = rhs using the cached upper Cholesky factor.
+    """Solves qM x = rhs from qMinv (fast path) or the Cholesky factor.
 
     rhs may be (nv,) or (nv, k).
     """
     from brax_tracking_tpu.ops import cholesky as ops_chol
 
+    if d.qMinv is not None:
+        return d.qMinv @ rhs
     if rhs.ndim == 1:
         return ops_chol.cholesky_solve(d.qLD, rhs)
     y = jax.scipy.linalg.solve_triangular(d.qLD.T, rhs, lower=True)

@@ -258,6 +258,7 @@ class Data:
     # dynamics products
     qM: jax.Array = None  # (nv, nv) dense
     qLD: jax.Array = None  # (nv, nv) cholesky factor of qM
+    qMinv: jax.Array = None  # (nv, nv) inverse of qM (TPU fast path)
     qfrc_bias: jax.Array = None  # (nv,)
     qfrc_passive: jax.Array = None  # (nv,)
     qfrc_actuator: jax.Array = None  # (nv,)

@@ -227,8 +227,9 @@ def _linesearch(m, meta, layout, friction, exists_row, exists_con, ctx, p, jar_p
         alpha = jnp.where(inside, newton, 0.5 * (lo + hi))
         return (alpha, lo, hi), None
 
+    n_ls = max(int(m.opt.ls_iterations), 1)
     (alpha, _, _), _ = jax.lax.scan(
-        ls_iter, (alpha, lo, hi), (), length=max(int(m.opt.ls_iterations), 1)
+        ls_iter, (alpha, lo, hi), (), length=n_ls, unroll=n_ls <= 16
     )
     return alpha
 
@@ -295,13 +296,18 @@ def solve(m: M.Model, d: M.Data) -> M.Data:
         p = jnp.where(done, p, p_new)
         return (ctx, p, done | step_done), None
 
-    # lax.scan, not a Python unroll: models like rodent_pair ask for 100
-    # iterations and an unrolled graph makes compile time scale with it
+    # Unroll small iteration counts (training configs use 4-6): cross-
+    # iteration fusion removes per-iteration kernel-launch + carry round
+    # trips, which dominate at these tiny per-env op sizes. Keep a rolled
+    # scan for models like rodent_pair that ask for 100 iterations, where
+    # an unrolled graph makes compile time scale with the count.
+    n_cg = max(int(m.opt.iterations), 1)
     (ctx, p, _), _ = jax.lax.scan(
         cg_iter,
         (ctx, p, jnp.zeros((), bool)),
         (),
-        length=max(int(m.opt.iterations), 1),
+        length=n_cg,
+        unroll=n_cg <= 16,
     )
 
     qfrc_constraint = d.efc_J.T @ ctx.force

@@ -54,7 +54,7 @@ def forward(m: M.Model, d: M.Data) -> M.Data:
     d = fwd_position_smooth(m, d)
     d = C.collision(m, d)
     d = D.crb(m, d)
-    d = D.factor_m(m, d)
+    d = D.invert_m(m, d)
     d = fwd_velocity_smooth(m, d)
     d = P.passive(m, d)
     d = D.rne(m, d)
@@ -120,13 +120,12 @@ def step(m: M.Model, d: M.Data) -> M.Data:
         # Implicit joint damping (MuJoCo Euler): damping already contributes
         # -B v_t inside qfrc_smooth, so the implicit velocity update is
         #   v' = v + h (M + hB)^-1 (qfrc_smooth + qfrc_constraint).
-        # Uses the lane-batched Pallas Cholesky on TPU (ops/cholesky.py).
+        # Uses the lane-batched Pallas sweep inversion on TPU (ops/cholesky.py).
         from brax_tracking_tpu.ops import cholesky as ops_chol
 
         qfrc = d.qfrc_smooth + d.qfrc_constraint
         mh = d.qM + dt * jnp.diag(m.dof_damping.astype(d.qpos.dtype))
-        uh = ops_chol.cholesky_factor(mh)
-        qvel_new = d.qvel + dt * ops_chol.cholesky_solve(uh, qfrc)
+        qvel_new = d.qvel + dt * (ops_chol.spd_inverse(mh) @ qfrc)
     else:
         qvel_new = d.qvel + dt * d.qacc
 

@@ -59,3 +59,26 @@ def test_custom_vmap_dispatch_batched_cpu_fallback():
     x = jax.vmap(oc.cholesky_solve)(U, b)
     ref = np.linalg.solve(np.asarray(qM), np.asarray(b)[..., None])[..., 0]
     np.testing.assert_allclose(np.asarray(x), ref, rtol=1e-10)
+
+
+@pytest.mark.parametrize("B,n", [(8, 5), (130, 73), (128, 8)])
+def test_inverse_batched_matches_numpy(B, n):
+    rng = np.random.RandomState(4)
+    qM = jnp.asarray(_rand_spd(rng, B, n))
+    inv = oc.inverse_batched(qM, interpret=True)
+    ref = np.linalg.inv(np.asarray(qM, np.float64))
+    np.testing.assert_allclose(np.asarray(inv), ref, rtol=3e-3, atol=3e-3)
+
+
+def test_spd_inverse_dispatch():
+    rng = np.random.RandomState(5)
+    qM1 = jnp.asarray(_rand_spd(rng, 1, 7)[0], jnp.float64)
+    np.testing.assert_allclose(
+        np.asarray(oc.spd_inverse(qM1)), np.linalg.inv(np.asarray(qM1)), rtol=1e-10
+    )
+    qMb = jnp.asarray(_rand_spd(rng, 6, 9), jnp.float64)
+    np.testing.assert_allclose(
+        np.asarray(jax.vmap(oc.spd_inverse)(qMb)),
+        np.linalg.inv(np.asarray(qMb)),
+        rtol=1e-10,
+    )
