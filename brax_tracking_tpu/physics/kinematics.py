@@ -31,78 +31,131 @@ def _gather_quat(qpos, qadr):
     return qpos[idx]
 
 
+def _joint_slot_groups(m: M.Model):
+    """Static grouping of joints by (within-body slot, type).
+
+    Joints of one body are consecutive in MJCF compile order; the slot is a
+    joint's position within its body. Returns (max_slot, groups) where
+    groups[slot][type] is an int array of joint ids.
+    """
+    jb = np.asarray(m.jnt_bodyid)
+    jt = np.asarray(m.jnt_type)
+    nj = m.njnt
+    slot = np.zeros(nj, np.int64)
+    seen: dict = {}
+    for j in range(nj):
+        b = int(jb[j])
+        slot[j] = seen.get(b, 0)
+        seen[b] = int(slot[j]) + 1
+    max_slot = int(slot.max()) + 1 if nj else 0
+    groups = []
+    for s in range(max_slot):
+        by_type = {}
+        for t in (M.JNT_FREE, M.JNT_BALL, M.JNT_SLIDE, M.JNT_HINGE):
+            by_type[t] = np.nonzero((slot == s) & (jt == t))[0]
+        groups.append(by_type)
+    return max_slot, groups
+
+
 def kinematics(m: M.Model, d: M.Data) -> M.Data:
-    """mj_kinematics: qpos -> body/joint/geom/site world frames."""
+    """mj_kinematics: qpos -> body/joint/geom/site world frames.
+
+    TPU-first structure: pointer-jumping ("parent doubling") over the body
+    tree. Each body's *local* transform (fixed offset composed with its
+    joints, all joints of one within-body slot handled as one wide op) is
+    built first; then ceil(log2(depth)) doubling steps compose world
+    transforms — O(log depth) traced ops instead of O(depth) levels (the
+    rodent tree is 39 levels deep). Quaternion composition is associative,
+    so the result matches the sequential recursion to float rounding.
+    """
     qpos = d.qpos
     dtype = qpos.dtype
     plan = m.plan
+    nb, nj = m.nbody, m.njnt
 
-    xpos = jnp.zeros((m.nbody, 3), dtype)
-    xquat = jnp.zeros((m.nbody, 4), dtype).at[:, 0].set(1.0)
-    xanchor = jnp.zeros((m.njnt, 3), dtype)
-    xaxis = jnp.zeros((m.njnt, 3), dtype)
+    rot = jax.vmap(btm.quat_rotate)
+    max_slot, groups = _joint_slot_groups(m)
 
-    for lev in plan.levels:
-        pq = xquat[lev.parents]
-        pp = xpos[lev.parents]
-        bq = btm.quat_mul(pq, m.body_quat[lev.bodies].astype(dtype))
-        bp = pp + jax.vmap(btm.quat_rotate)(pq, m.body_pos[lev.bodies].astype(dtype))
+    # --- per-body local transform (parent-relative), wide over joint slots
+    Lq = m.body_quat.astype(dtype)
+    Lp = m.body_pos.astype(dtype)
+    # pre-joint local prefix per joint (for anchors/axes after doubling)
+    preq = jnp.zeros((nj, 4), dtype).at[:, 0].set(1.0)
+    prep = jnp.zeros((nj, 3), dtype)
+    free_jids = np.nonzero(np.asarray(m.jnt_type) == M.JNT_FREE)[0]
 
-        # free-joint bodies: pose straight from qpos
-        fr = lev.free
-        if fr.body.size:
-            idx3 = fr.qadr[:, None] + np.arange(3)[None, :]
-            fpos = qpos[idx3]
-            fquat = btm.quat_normalize(_gather_quat(qpos, fr.qadr + 3))
-            bp = bp.at[fr.level_pos].set(fpos)
-            bq = bq.at[fr.level_pos].set(fquat)
-            xanchor = xanchor.at[fr.jid].set(fpos)
-            xaxis = xaxis.at[fr.jid].set(m.jnt_axis[fr.jid].astype(dtype))
-
-        for hinge, slide, ball in lev.slots:
-            if hinge.body.size:
-                sel = hinge.level_pos
-                jpos = m.jnt_pos[hinge.jid].astype(dtype)
-                jaxis = m.jnt_axis[hinge.jid].astype(dtype)
-                q_s, p_s = bq[sel], bp[sel]
-                anchor = jax.vmap(btm.quat_rotate)(q_s, jpos) + p_s
-                axis_w = jax.vmap(btm.quat_rotate)(q_s, jaxis)
-                angle = qpos[hinge.qadr] - m.qpos0[hinge.qadr]
+    for s in range(max_slot):
+        g = groups[s]
+        for t in (M.JNT_HINGE, M.JNT_SLIDE, M.JNT_BALL):
+            jids = g[t]
+            if not jids.size:
+                continue
+            bodies = np.asarray(m.jnt_bodyid)[jids]
+            jpos = m.jnt_pos[jids].astype(dtype)
+            jaxis = m.jnt_axis[jids].astype(dtype)
+            q_s, p_s = Lq[bodies], Lp[bodies]
+            preq = preq.at[jids].set(q_s)
+            prep = prep.at[jids].set(p_s)
+            qadr = np.asarray(m.jnt_qposadr)[jids]
+            if t == M.JNT_HINGE:
+                angle = qpos[qadr] - m.qpos0[qadr]
                 qloc = btm.axis_angle_to_quat(jaxis, angle)
-                q_new = btm.quat_mul(q_s, qloc)
-                p_new = anchor - jax.vmap(btm.quat_rotate)(q_new, jpos)
-                bq = bq.at[sel].set(q_new)
-                bp = bp.at[sel].set(p_new)
-                xanchor = xanchor.at[hinge.jid].set(anchor)
-                xaxis = xaxis.at[hinge.jid].set(axis_w)
-            if slide.body.size:
-                sel = slide.level_pos
-                jpos = m.jnt_pos[slide.jid].astype(dtype)
-                jaxis = m.jnt_axis[slide.jid].astype(dtype)
-                q_s, p_s = bq[sel], bp[sel]
-                anchor = jax.vmap(btm.quat_rotate)(q_s, jpos) + p_s
-                axis_w = jax.vmap(btm.quat_rotate)(q_s, jaxis)
-                disp = qpos[slide.qadr] - m.qpos0[slide.qadr]
-                bp = bp.at[sel].set(p_s + axis_w * disp[:, None])
-                xanchor = xanchor.at[slide.jid].set(anchor)
-                xaxis = xaxis.at[slide.jid].set(axis_w)
-            if ball.body.size:
-                sel = ball.level_pos
-                jpos = m.jnt_pos[ball.jid].astype(dtype)
-                jaxis = m.jnt_axis[ball.jid].astype(dtype)
-                q_s, p_s = bq[sel], bp[sel]
-                anchor = jax.vmap(btm.quat_rotate)(q_s, jpos) + p_s
-                axis_w = jax.vmap(btm.quat_rotate)(q_s, jaxis)
-                qloc = btm.quat_normalize(_gather_quat(qpos, ball.qadr))
-                q_new = btm.quat_mul(q_s, qloc)
-                p_new = anchor - jax.vmap(btm.quat_rotate)(q_new, jpos)
-                bq = bq.at[sel].set(q_new)
-                bp = bp.at[sel].set(p_new)
-                xanchor = xanchor.at[ball.jid].set(anchor)
-                xaxis = xaxis.at[ball.jid].set(axis_w)
+                tp = jpos - rot(qloc, jpos)
+                Lq = Lq.at[bodies].set(btm.quat_mul(q_s, qloc))
+                Lp = Lp.at[bodies].set(p_s + rot(q_s, tp))
+            elif t == M.JNT_SLIDE:
+                disp = qpos[qadr] - m.qpos0[qadr]
+                Lp = Lp.at[bodies].set(p_s + rot(q_s, jaxis * disp[:, None]))
+            else:  # ball
+                qloc = btm.quat_normalize(_gather_quat(qpos, qadr))
+                tp = jpos - rot(qloc, jpos)
+                Lq = Lq.at[bodies].set(btm.quat_mul(q_s, qloc))
+                Lp = Lp.at[bodies].set(p_s + rot(q_s, tp))
+    if free_jids.size:
+        # free-joint bodies take their world pose straight from qpos
+        fb = np.asarray(m.jnt_bodyid)[free_jids]
+        fqadr = np.asarray(m.jnt_qposadr)[free_jids]
+        idx3 = fqadr[:, None] + np.arange(3)[None, :]
+        fpos = qpos[idx3]
+        fquat = btm.quat_normalize(_gather_quat(qpos, fqadr + 3))
+        Lq = Lq.at[fb].set(fquat)
+        Lp = Lp.at[fb].set(fpos)
 
-        xquat = xquat.at[lev.bodies].set(btm.quat_normalize(bq))
-        xpos = xpos.at[lev.bodies].set(bp)
+    # --- pointer jumping: compose ceil(log2(depth)) ancestor blocks
+    anc = np.asarray(m.body_parentid).copy()
+    anc[0] = 0  # world is its own (identity) ancestor
+    Lq = Lq.at[0].set(jnp.asarray([1.0, 0, 0, 0], dtype))
+    Lp = Lp.at[0].set(0.0)
+    depth = max(len(plan.levels), 1)
+    n_jump = max(int(np.ceil(np.log2(depth))), 1)
+    q, p = Lq, Lp
+    for _ in range(n_jump):
+        q_par, p_par = q[anc], p[anc]
+        p = p_par + rot(q_par, p)
+        # keep quats unit through the jumps (quat_rotate assumes unit)
+        q = btm.quat_normalize(btm.quat_mul(q_par, q))
+        anc = anc[anc]
+    xquat = q
+    xpos = p
+
+    # --- joint anchors/axes from the pre-joint world transform
+    xanchor = jnp.zeros((nj, 3), dtype)
+    xaxis = jnp.zeros((nj, 3), dtype)
+    if nj:
+        jb = np.asarray(m.jnt_bodyid)
+        nf = np.nonzero(np.asarray(m.jnt_type) != M.JNT_FREE)[0]
+        if nf.size:
+            par = np.asarray(m.body_parentid)[jb[nf]]
+            q_par, p_par = xquat[par], xpos[par]
+            q_s = btm.quat_mul(q_par, preq[nf])
+            p_s = p_par + rot(q_par, prep[nf])
+            xanchor = xanchor.at[nf].set(rot(q_s, m.jnt_pos[nf].astype(dtype)) + p_s)
+            xaxis = xaxis.at[nf].set(rot(q_s, m.jnt_axis[nf].astype(dtype)))
+        if free_jids.size:
+            fqadr = np.asarray(m.jnt_qposadr)[free_jids]
+            idx3 = fqadr[:, None] + np.arange(3)[None, :]
+            xanchor = xanchor.at[free_jids].set(qpos[idx3])
+            xaxis = xaxis.at[free_jids].set(m.jnt_axis[free_jids].astype(dtype))
 
     xmat = btm.quat_to_mat(xquat)
     iquat = btm.quat_mul(xquat, m.body_iquat.astype(dtype))
