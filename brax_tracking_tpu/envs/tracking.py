@@ -327,10 +327,16 @@ class TrackingEnv(PipelineEnv):
     def _get_obs(self, data: M.Data, cur_frame: jax.Array) -> jax.Array:
         ref = self._ref_traj
 
+        # Window via gather, not dynamic_slice: vmapping a per-env
+        # dynamic_slice lowers to thousands of scalar slice/while ops on TPU
+        # (profiled ~13% of the control step); a per-env index gather stays
+        # one batched op. Start clamping mirrors dynamic_slice semantics.
         def window(x):
             if x is None or x.ndim == 1:
                 return None
-            return jax.lax.dynamic_slice_in_dim(x, cur_frame + 1, self._ref_len)
+            start = jnp.clip(cur_frame + 1, 0, x.shape[0] - self._ref_len)
+            idx = start + jnp.arange(self._ref_len)
+            return x[idx]
 
         parts = []
         parts.append(data.qpos)

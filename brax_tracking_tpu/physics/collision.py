@@ -54,6 +54,23 @@ def _plane_sphere_point(
     return dist, pos
 
 
+def _gz(d: M.Data, g) -> jax.Array:
+    """World z-axis of selected geom frames, from the stored quaternions
+    (geom_xmat is not materialized on the hot path)."""
+    q = d.geom_xquat[g]
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return jnp.stack(
+        [2 * (x * z + w * y), 2 * (y * z - w * x), 1 - 2 * (x * x + y * y)], -1
+    )
+
+
+def _gmat(d: M.Data, g) -> jax.Array:
+    """Full 3x3 world frames of selected geoms, from the stored quaternions."""
+    from brax_tracking_tpu import math as btm
+
+    return btm.quat_to_mat(d.geom_xquat[g])
+
+
 def collision(m: M.Model, d: M.Data) -> M.Data:
     dtype = d.qpos.dtype
     ncon = m.ncon
@@ -81,7 +98,7 @@ def collision(m: M.Model, d: M.Data) -> M.Data:
     # ---- plane-sphere ----
     ps = sel((t1 == M.GEOM_PLANE) & (t2 == M.GEOM_SPHERE))
     if ps.size:
-        pn = d.geom_xmat[g1[ps], :, 2]
+        pn = _gz(d, g1[ps])
         pp = d.geom_xpos[g1[ps]]
         c = d.geom_xpos[g2[ps]]
         r = m.geom_size[g2[ps], 0].astype(dtype)
@@ -94,10 +111,10 @@ def collision(m: M.Model, d: M.Data) -> M.Data:
     # ---- plane-capsule: one contact per end sphere ----
     pc = sel((t1 == M.GEOM_PLANE) & (t2 == M.GEOM_CAPSULE))
     if pc.size:
-        pn = d.geom_xmat[g1[pc], :, 2]
+        pn = _gz(d, g1[pc])
         pp = d.geom_xpos[g1[pc]]
         c = d.geom_xpos[g2[pc]]
-        axis = d.geom_xmat[g2[pc], :, 2]
+        axis = _gz(d, g2[pc])
         r = m.geom_size[g2[pc], 0].astype(dtype)
         half = m.geom_size[g2[pc], 1].astype(dtype)
         # mujoco aligns friction tangent1 with the capsule axis projected
@@ -119,10 +136,10 @@ def collision(m: M.Model, d: M.Data) -> M.Data:
     # ---- plane-ellipsoid: analytic support point ----
     pe = sel((t1 == M.GEOM_PLANE) & (t2 == M.GEOM_ELLIPSOID))
     if pe.size:
-        pn = d.geom_xmat[g1[pe], :, 2]
+        pn = _gz(d, g1[pe])
         pp = d.geom_xpos[g1[pe]]
         c = d.geom_xpos[g2[pe]]
-        E = d.geom_xmat[g2[pe]]  # (n, 3, 3)
+        E = _gmat(d, g2[pe])  # (n, 3, 3)
         s = m.geom_size[g2[pe]].astype(dtype)  # (n, 3)
         # support point of the ellipsoid in direction -pn
         nloc = jnp.einsum("nij,ni->nj", E, pn)  # E^T n
@@ -140,10 +157,10 @@ def collision(m: M.Model, d: M.Data) -> M.Data:
     # ---- plane-box: four deepest corners ----
     pb = sel((t1 == M.GEOM_PLANE) & (t2 == M.GEOM_BOX))
     if pb.size:
-        pn = d.geom_xmat[g1[pb], :, 2]
+        pn = _gz(d, g1[pb])
         pp = d.geom_xpos[g1[pb]]
         c = d.geom_xpos[g2[pb]]
-        R = d.geom_xmat[g2[pb]]
+        R = _gmat(d, g2[pb])
         s = m.geom_size[g2[pb]].astype(dtype)
         corners = np.array(
             [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
@@ -194,7 +211,7 @@ def collision(m: M.Model, d: M.Data) -> M.Data:
         c1 = d.geom_xpos[g1[sc]]
         r1 = m.geom_size[g1[sc], 0].astype(dtype)
         c2 = d.geom_xpos[g2[sc]]
-        ax2 = d.geom_xmat[g2[sc], :, 2]
+        ax2 = _gz(d, g2[sc])
         r2 = m.geom_size[g2[sc], 0].astype(dtype)
         h2 = m.geom_size[g2[sc], 1].astype(dtype)
         p2 = _seg_closest(c1, c2, ax2, h2)
@@ -211,11 +228,11 @@ def collision(m: M.Model, d: M.Data) -> M.Data:
     cc = sel((t1 == M.GEOM_CAPSULE) & (t2 == M.GEOM_CAPSULE))
     if cc.size:
         c1 = d.geom_xpos[g1[cc]]
-        ax1 = d.geom_xmat[g1[cc], :, 2]
+        ax1 = _gz(d, g1[cc])
         r1 = m.geom_size[g1[cc], 0].astype(dtype)
         h1 = m.geom_size[g1[cc], 1].astype(dtype)
         c2 = d.geom_xpos[g2[cc]]
-        ax2 = d.geom_xmat[g2[cc], :, 2]
+        ax2 = _gz(d, g2[cc])
         r2 = m.geom_size[g2[cc], 0].astype(dtype)
         h2 = m.geom_size[g2[cc], 1].astype(dtype)
         # closest points between segments (clamped alternating projection)

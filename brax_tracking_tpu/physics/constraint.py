@@ -148,8 +148,8 @@ def _contact_jac(m: M.Model, d: M.Data, layout: EfcLayout):
     mask2 = jnp.asarray(m.body_dof_mask[b2], dtype)
     # c-frame origins per dof: subtree_com of the dof's tree root
     com = d.subtree_com[m.body_rootid[m.dof_bodyid]]  # (nv, 3)
-    ang = d.cdof[:, :3]  # (nv, 3)
-    lin = d.cdof[:, 3:]
+    ang = d.cdof[:3].T  # (nv, 3)
+    lin = d.cdof[3:].T
     # jacp[:, v] at point p = lin_v + ang_v x (p - com_v)
     p = d.contact_pos  # (ncon, 3)
     offset = p[:, None, :] - com[None, :, :]  # (ncon, nv, 3)

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from brax_tracking_tpu import math as btm
-from brax_tracking_tpu.math.spatial import SpatialInertia, inert_mul
+from brax_tracking_tpu.math.spatial import inert_mul_cm, motion_cross_force_cm
 from brax_tracking_tpu.physics import model as M
 
 
@@ -31,16 +31,16 @@ def crb(m: M.Model, d: M.Data) -> M.Data:
 
     # composite inertia = subtree sums: one mask matmul per field (MXU)
     SUB = jnp.asarray(m.plan.body_subtree_mask, dtype)
-    ci = jnp.tensordot(SUB, d.cinert_i, axes=1)
-    ch = jnp.tensordot(SUB, d.cinert_h, axes=1)
+    ci = d.cinert_s @ SUB.T  # (6, nbody) composite packed inertia
+    ch = d.cinert_h @ SUB.T  # (3, nbody)
     cm = SUB @ m.body_mass.astype(dtype)
 
     dofb = np.asarray(m.dof_bodyid)
-    f = inert_mul(SpatialInertia(ci[dofb], ch[dofb], cm[dofb]), d.cdof)  # (nv, 6)
+    f = inert_mul_cm(ci[:, dofb], ch[:, dofb], cm[dofb], d.cdof)  # (6, nv)
 
     # qM[i, j] = cdof_j . f_i on the ancestor sparsity; symmetrize
     mask = jnp.asarray(m.dof_ancestor_mask)
-    full = f @ d.cdof.T
+    full = jnp.einsum("ci,cj->ij", f, d.cdof)
     lower = jnp.where(mask, full, 0.0)
     qM = lower + lower.T - jnp.diag(jnp.diag(lower))
     qM = qM + jnp.diag(m.dof_armature.astype(dtype))
@@ -94,19 +94,20 @@ def rne(m: M.Model, d: M.Data) -> M.Data:
     gravity = m.opt.gravity.astype(dtype)
     cacc0 = jnp.concatenate([jnp.zeros(3, dtype), -gravity])
 
-    dof_acc = jax.ops.segment_sum(
-        d.cdof_dot * d.qvel[:, None], np.asarray(m.dof_bodyid), m.nbody
-    )
+    dofb = np.asarray(m.dof_bodyid)
+    D2B = jnp.asarray(np.eye(m.nbody, dtype=np.float64)[dofb], dtype)  # (nv, nb)
+    dof_acc = (d.cdof_dot * d.qvel[None, :]) @ D2B  # (6, nbody)
     # prefix (root-to-body) and subtree (body-to-root) accumulations as mask
     # matmuls — see plan.body_subtree_mask
     SUB = jnp.asarray(m.plan.body_subtree_mask, dtype)
-    cacc = cacc0[None, :] + SUB.T @ dof_acc
+    cacc = cacc0[:, None] + dof_acc @ SUB
 
-    inert = SpatialInertia(d.cinert_i, d.cinert_h, m.body_mass.astype(dtype))
-    fv = inert_mul(inert, d.cvel)
-    cfrc = inert_mul(inert, cacc) + btm.motion_cross_force(d.cvel, fv)
-    cfrc = cfrc.at[0].set(0.0)
-    cfrc = SUB @ cfrc
+    mass = m.body_mass.astype(dtype)
+    fv = inert_mul_cm(d.cinert_s, d.cinert_h, mass, d.cvel)
+    cfrc = inert_mul_cm(d.cinert_s, d.cinert_h, mass, cacc)
+    cfrc = cfrc + motion_cross_force_cm(d.cvel, fv)
+    cfrc = cfrc.at[:, 0].set(0.0)
+    cfrc = cfrc @ SUB.T  # subtree (body-to-root) sum
 
-    qfrc_bias = jnp.einsum("ij,ij->i", d.cdof, cfrc[m.dof_bodyid])
+    qfrc_bias = jnp.einsum("ci,ci->i", d.cdof, cfrc[:, dofb])
     return d.replace(qfrc_bias=qfrc_bias)

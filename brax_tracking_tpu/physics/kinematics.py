@@ -21,7 +21,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from brax_tracking_tpu import math as btm
-from brax_tracking_tpu.math.spatial import transform_inertia
 from brax_tracking_tpu.physics import model as M
 
 
@@ -57,8 +56,12 @@ def _joint_slot_groups(m: M.Model):
     return max_slot, groups
 
 
-def kinematics(m: M.Model, d: M.Data) -> M.Data:
+def kinematics(m: M.Model, d: M.Data, mats: bool = True) -> M.Data:
     """mj_kinematics: qpos -> body/joint/geom/site world frames.
+
+    ``mats=False`` (the hot engine path) skips materializing the (n, 3, 3)
+    rotation-matrix fields — on TPU their tiny minor dims tile-pad ~14x, and
+    every consumer can derive what it needs from the stored quaternions.
 
     TPU-first structure: pointer-jumping ("parent doubling") over the body
     tree. Each body's *local* transform (fixed offset composed with its
@@ -157,44 +160,46 @@ def kinematics(m: M.Model, d: M.Data) -> M.Data:
             xanchor = xanchor.at[free_jids].set(qpos[idx3])
             xaxis = xaxis.at[free_jids].set(m.jnt_axis[free_jids].astype(dtype))
 
-    xmat = btm.quat_to_mat(xquat)
     iquat = btm.quat_mul(xquat, m.body_iquat.astype(dtype))
     xipos = xpos + jax.vmap(btm.quat_rotate)(xquat, m.body_ipos.astype(dtype))
-    ximat = btm.quat_to_mat(iquat)
 
     gq = btm.quat_mul(xquat[m.geom_bodyid], m.geom_quat.astype(dtype))
     geom_xpos = xpos[m.geom_bodyid] + jax.vmap(btm.quat_rotate)(
         xquat[m.geom_bodyid], m.geom_pos.astype(dtype)
     )
-    geom_xmat = btm.quat_to_mat(gq)
 
     if m.nsite:
         sq = btm.quat_mul(xquat[m.site_bodyid], m.site_quat.astype(dtype))
         site_xpos = xpos[m.site_bodyid] + jax.vmap(btm.quat_rotate)(
             xquat[m.site_bodyid], m.site_pos.astype(dtype)
         )
-        site_xmat = btm.quat_to_mat(sq)
     else:
+        sq = jnp.zeros((0, 4), dtype)
         site_xpos = jnp.zeros((0, 3), dtype)
-        site_xmat = jnp.zeros((0, 3, 3), dtype)
 
     return d.replace(
         xpos=xpos,
         xquat=xquat,
-        xmat=xmat,
+        xmat=btm.quat_to_mat(xquat) if mats else None,
         xipos=xipos,
-        ximat=ximat,
+        ximat=btm.quat_to_mat(iquat) if mats else None,
         xanchor=xanchor,
         xaxis=xaxis,
         geom_xpos=geom_xpos,
-        geom_xmat=geom_xmat,
+        geom_xmat=btm.quat_to_mat(gq) if mats else None,
+        geom_xquat=gq,
         site_xpos=site_xpos,
-        site_xmat=site_xmat,
+        site_xmat=(btm.quat_to_mat(sq) if m.nsite else jnp.zeros((0, 3, 3), dtype))
+        if mats
+        else None,
+        site_xquat=sq,
     )
 
 
 def com_pos(m: M.Model, d: M.Data) -> M.Data:
-    """mj_comPos: subtree CoM, cinert, cdof (one op per level / joint type)."""
+    """mj_comPos: subtree CoM, packed cinert, component-major cdof."""
+    from brax_tracking_tpu.math.spatial import transform_inertia_cm
+
     dtype = d.qpos.dtype
     plan = m.plan
     mass = m.body_mass.astype(dtype)
@@ -205,11 +210,12 @@ def com_pos(m: M.Model, d: M.Data) -> M.Data:
     subtree_com = acc / jnp.maximum(submass, M.MINVAL)[:, None]
 
     root_com = subtree_com[m.body_rootid]
-    inert = transform_inertia(
-        m.body_inertia.astype(dtype), mass, d.ximat, d.xipos - root_com
+    iquat = btm.quat_mul(d.xquat, m.body_iquat.astype(dtype))
+    cinert_s, cinert_h = transform_inertia_cm(
+        m.body_inertia.astype(dtype), mass, iquat, (d.xipos - root_com).T
     )
 
-    cdof = jnp.zeros((m.nv, 6), dtype)
+    cdof = jnp.zeros((6, m.nv), dtype)
     free_j, ball_j, slide_j, hinge_j = (
         plan.jnt_by_type[0],
         plan.jnt_by_type[1],
@@ -221,31 +227,33 @@ def com_pos(m: M.Model, d: M.Data) -> M.Data:
         dadr = m.jnt_dofadr[hinge_j]
         axis = d.xaxis[hinge_j]
         off = subtree_com[m.body_rootid[jb[hinge_j]]] - d.xanchor[hinge_j]
-        cdof = cdof.at[dadr].set(jnp.concatenate([axis, jnp.cross(axis, off)], -1))
+        cdof = cdof.at[:, dadr].set(
+            jnp.concatenate([axis, jnp.cross(axis, off)], -1).T
+        )
     if slide_j.size:
         dadr = m.jnt_dofadr[slide_j]
         zeros = jnp.zeros((slide_j.size, 3), dtype)
-        cdof = cdof.at[dadr].set(jnp.concatenate([zeros, d.xaxis[slide_j]], -1))
+        cdof = cdof.at[:, dadr].set(jnp.concatenate([zeros, d.xaxis[slide_j]], -1).T)
     for jgrp, rot_off in ((ball_j, 0), (free_j, 3)):
         if not jgrp.size:
             continue
         b = jb[jgrp]
         off = subtree_com[m.body_rootid[b]] - d.xanchor[jgrp]  # (n, 3)
-        cols = jnp.swapaxes(d.xmat[b], -1, -2)  # (n, 3axes, 3)
+        cols = jnp.swapaxes(btm.quat_to_mat(d.xquat[b]), -1, -2)  # (n, 3axes, 3)
         lin = jnp.cross(cols, off[:, None, :])
         rows = jnp.concatenate([cols, lin], -1)  # (n, 3, 6)
         dadr = (m.jnt_dofadr[jgrp] + rot_off)[:, None] + np.arange(3)[None, :]
-        cdof = cdof.at[dadr.reshape(-1)].set(rows.reshape(-1, 6))
+        cdof = cdof.at[:, dadr.reshape(-1)].set(rows.reshape(-1, 6).T)
     if free_j.size:
         dadr = m.jnt_dofadr[free_j][:, None] + np.arange(3)[None, :]
         eye = jnp.tile(
             jnp.concatenate([jnp.zeros((3, 3), dtype), jnp.eye(3, dtype=dtype)], -1),
             (free_j.size, 1, 1),
         )
-        cdof = cdof.at[dadr.reshape(-1)].set(eye.reshape(-1, 6))
+        cdof = cdof.at[:, dadr.reshape(-1)].set(eye.reshape(-1, 6).T)
 
     return d.replace(
-        subtree_com=subtree_com, cinert_i=inert.i, cinert_h=inert.h, cdof=cdof
+        subtree_com=subtree_com, cinert_s=cinert_s, cinert_h=cinert_h, cdof=cdof
     )
 
 
@@ -273,21 +281,25 @@ def tendon(m: M.Model, d: M.Data) -> M.Data:
 
 
 def com_vel(m: M.Model, d: M.Data) -> M.Data:
-    """mj_comVel: body spatial velocities cvel and cdof time-derivatives."""
+    """mj_comVel: component-major cvel and cdof time-derivatives."""
+    from brax_tracking_tpu.math.spatial import motion_cross_cm
+
     dtype = d.qpos.dtype
     plan = m.plan
 
-    contrib = d.cdof * d.qvel[:, None]  # (nv, 6)
-    own = jax.ops.segment_sum(contrib, np.asarray(m.dof_bodyid), m.nbody)
-
-    # root-to-body prefix sum as one mask matmul (own[world]=0)
-    cvel = jnp.asarray(plan.body_subtree_mask, dtype).T @ own
+    contrib = d.cdof * d.qvel[None, :]  # (6, nv)
+    # dof -> body accumulation and root-to-body prefix sum as matmuls (MXU)
+    D2B = jnp.asarray(
+        np.eye(m.nbody, dtype=np.float64)[np.asarray(m.dof_bodyid)], dtype
+    )  # (nv, nbody) one-hot
+    own = contrib @ D2B  # (6, nbody)
+    cvel = own @ jnp.asarray(plan.body_subtree_mask, dtype)
 
     # velocity "before" each dof's joint sub-group, for cdof_dot
     S = jnp.asarray(plan.dof_suffix_mask, dtype)
-    vbefore = cvel[m.dof_bodyid] - S @ contrib
-    cdof_dot = btm.motion_cross(vbefore, d.cdof)
+    vbefore = cvel[:, np.asarray(m.dof_bodyid)] - contrib @ S.T
+    cdof_dot = motion_cross_cm(vbefore, d.cdof)
     cdof_dot = jnp.where(
-        jnp.asarray(plan.free_trans_dof)[:, None], 0.0, cdof_dot
+        jnp.asarray(plan.free_trans_dof)[None, :], 0.0, cdof_dot
     )
     return d.replace(cvel=cvel, cdof_dot=cdof_dot)

@@ -244,17 +244,21 @@ class Data:
     xaxis: jax.Array = None  # (njnt, 3)
     geom_xpos: jax.Array = None  # (ngeom, 3)
     geom_xmat: jax.Array = None  # (ngeom, 3, 3)
+    geom_xquat: jax.Array = None  # (ngeom, 4) — mats derivable on demand
     site_xpos: jax.Array = None  # (nsite, 3)
     site_xmat: jax.Array = None  # (nsite, 3, 3)
+    site_xquat: jax.Array = None  # (nsite, 4)
     subtree_com: jax.Array = None  # (nbody, 3)
-    cinert_i: jax.Array = None  # (nbody, 3, 3)
-    cinert_h: jax.Array = None  # (nbody, 3)
-    cdof: jax.Array = None  # (nv, 6)
+    # c-frame quantities are component-major (components, entities): the big
+    # entity axis must ride the 128-lane dimension on TPU (see math/spatial.py)
+    cinert_s: jax.Array = None  # (6, nbody) packed sym [xx,yy,zz,xy,xz,yz]
+    cinert_h: jax.Array = None  # (3, nbody)
+    cdof: jax.Array = None  # (6, nv)
     ten_length: jax.Array = None  # (ntendon,)
     ten_J: jax.Array = None  # (ntendon, nv)
     # velocity-stage products
-    cvel: jax.Array = None  # (nbody, 6)
-    cdof_dot: jax.Array = None  # (nv, 6)
+    cvel: jax.Array = None  # (6, nbody)
+    cdof_dot: jax.Array = None  # (6, nv)
     # dynamics products
     qM: jax.Array = None  # (nv, nv) dense
     qLD: jax.Array = None  # (nv, nv) cholesky factor of qM

@@ -90,13 +90,15 @@ def fluid(m: M.Model, d: M.Data) -> jax.Array:
 
     # local 6D velocity at body inertial frame (mj_objectVelocity flg_local=1)
     root_com = d.subtree_com[m.body_rootid]
-    ang_w = d.cvel[:, :3]
-    lin_w = d.cvel[:, 3:] + jnp.cross(ang_w, d.xipos - root_com)
-    # rotate into ximat frame
-    rt = jnp.swapaxes(d.ximat, -1, -2)
-    ang = jnp.einsum("bij,bj->bi", rt, ang_w)
-    lin = jnp.einsum("bij,bj->bi", rt, lin_w)
-    lwind = jnp.einsum("bij,j->bi", rt, wind)
+    ang_w = d.cvel[:3].T  # (nbody, 3)
+    lin_w = d.cvel[3:].T + jnp.cross(ang_w, d.xipos - root_com)
+    # rotate into the inertial frame (quat-based; ximat is not materialized
+    # on the hot path)
+    iquat = btm.quat_mul(d.xquat, m.body_iquat.astype(dtype))
+    rot_inv = jax.vmap(btm.quat_rotate_inv)
+    ang = rot_inv(iquat, ang_w)
+    lin = rot_inv(iquat, lin_w)
+    lwind = rot_inv(iquat, jnp.broadcast_to(wind, ang_w.shape))
     lin = lin - lwind
 
     lfrc_ang = jnp.zeros_like(ang)
@@ -119,15 +121,16 @@ def fluid(m: M.Model, d: M.Data) -> jax.Array:
     lfrc_ang = lfrc_ang - density * tmom * jnp.abs(ang) * ang / 64.0
 
     # rotate to world, then shift to the c-frame origin and project onto dofs
-    torque_w = jnp.einsum("bij,bj->bi", d.ximat, lfrc_ang)
-    force_w = jnp.einsum("bij,bj->bi", d.ximat, lfrc_lin)
+    rot_f = jax.vmap(btm.quat_rotate)
+    torque_w = rot_f(iquat, lfrc_ang)
+    force_w = rot_f(iquat, lfrc_lin)
     torque_c = torque_w + jnp.cross(d.xipos - root_com, force_w)
     fvec = jnp.concatenate([torque_c, force_w], axis=-1)  # (nbody, 6)
     # world body has zero mass; mask it out
     fvec = fvec.at[0].set(0.0)
 
     # qfrc[j] += cdof_j . fvec_b for each body b moved by dof j
-    contrib = d.cdof @ fvec.T  # (nv, nbody)
+    contrib = jnp.einsum("cv,bc->vb", d.cdof, fvec)  # (nv, nbody)
     mask = jnp.asarray(m.body_dof_mask).T.astype(dtype)  # (nv, nbody)
     return jnp.sum(contrib * mask, axis=1)
 

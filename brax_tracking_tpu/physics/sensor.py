@@ -19,9 +19,16 @@ def _site_vel(m: M.Model, d: M.Data, site: int, body: int):
     """6D velocity of a site, world-aligned at the site position."""
     root = int(m.body_rootid[body])
     com = d.subtree_com[root]
-    ang = d.cvel[body, :3]
-    lin = d.cvel[body, 3:] + jnp.cross(ang, d.site_xpos[site] - com)
+    ang = d.cvel[:3, body]
+    lin = d.cvel[3:, body] + jnp.cross(ang, d.site_xpos[site] - com)
     return ang, lin
+
+
+def _site_rot_inv(m: M.Model, d: M.Data, site: int, v: jax.Array) -> jax.Array:
+    """rot^T @ v for the site frame, from the stored site quaternion."""
+    from brax_tracking_tpu import math as btm
+
+    return btm.quat_rotate_inv(d.site_xquat[site], v)
 
 
 def sensors(m: M.Model, d: M.Data) -> M.Data:
@@ -36,11 +43,15 @@ def sensors(m: M.Model, d: M.Data) -> M.Data:
     # cacc[b] = cacc0 + sum_dofs (cdof_dot*qvel + cdof*qacc)
     gravity = m.opt.gravity.astype(dtype)
     cacc0 = jnp.concatenate([jnp.zeros(3, dtype), -gravity])
-    dof_contrib = d.cdof_dot * d.qvel[:, None] + d.cdof * d.qacc[:, None]
-    per_body = jax.ops.segment_sum(dof_contrib, np.asarray(m.dof_bodyid), m.nbody)
-    cacc = jnp.tile(cacc0, (m.nbody, 1))
-    for lev in m.plan.levels:
-        cacc = cacc.at[lev.bodies].set(cacc[lev.parents] + per_body[lev.bodies])
+    dof_contrib = d.cdof_dot * d.qvel[None, :] + d.cdof * d.qacc[None, :]  # (6, nv)
+    D2B = jnp.asarray(
+        np.eye(m.nbody, dtype=np.float64)[np.asarray(m.dof_bodyid)], dtype
+    )
+    per_body = dof_contrib @ D2B  # (6, nbody)
+    # root-to-body prefix sum as one mask matmul
+    cacc = cacc0[:, None] + per_body @ jnp.asarray(
+        m.plan.body_subtree_mask, dtype
+    )  # (6, nbody)
 
     for s in range(m.nsensor):
         stype = int(m.sensor_type[s])
@@ -48,27 +59,26 @@ def sensors(m: M.Model, d: M.Data) -> M.Data:
         objid = int(m.sensor_objid[s])
         if stype in (M.SENS_ACCELEROMETER, M.SENS_VELOCIMETER, M.SENS_GYRO):
             body = int(m.site_bodyid[objid])
-            rot = d.site_xmat[objid]
             ang, lin = _site_vel(m, d, objid, body)
             if stype == M.SENS_GYRO:
-                val = rot.T @ ang
+                val = _site_rot_inv(m, d, objid, ang)
             elif stype == M.SENS_VELOCIMETER:
-                val = rot.T @ lin
+                val = _site_rot_inv(m, d, objid, lin)
             else:  # accelerometer: spatial acc at site, minus gravity trick
                 root = int(m.body_rootid[body])
                 com = d.subtree_com[root]
                 off = d.site_xpos[objid] - com
-                acc_lin = cacc[body, 3:] + jnp.cross(cacc[body, :3], off)
+                acc_lin = cacc[3:, body] + jnp.cross(cacc[:3, body], off)
                 # convective term: w x v_site
                 acc_lin = acc_lin + jnp.cross(ang, lin)
-                val = rot.T @ acc_lin
+                val = _site_rot_inv(m, d, objid, acc_lin)
             out = out.at[adr : adr + 3].set(val)
         elif stype == M.SENS_SUBTREELINVEL:
             # momentum of subtree / mass
             mass = m.body_mass.astype(dtype)
             mom = mass[:, None] * (
-                d.cvel[:, 3:]
-                + jnp.cross(d.cvel[:, :3], d.xipos - d.subtree_com[m.body_rootid])
+                d.cvel[3:].T
+                + jnp.cross(d.cvel[:3].T, d.xipos - d.subtree_com[m.body_rootid])
             )
             msum = jnp.zeros(3, dtype)
             total = jnp.zeros((), dtype)

@@ -27,9 +27,14 @@ def make_data(m: M.Model, dtype=None) -> M.Data:
     return d
 
 
-def fwd_position_smooth(m: M.Model, d: M.Data) -> M.Data:
-    """Position-stage smooth pipeline (no collision yet)."""
-    d = K.kinematics(m, d)
+def fwd_position_smooth(m: M.Model, d: M.Data, mats: bool = False) -> M.Data:
+    """Position-stage smooth pipeline (no collision yet).
+
+    ``mats=False``: the engine hot path never materializes (n, 3, 3)
+    rotation-matrix fields (consumers derive from quaternions); pass True
+    for oracle-parity tests that compare xmat/ximat directly.
+    """
+    d = K.kinematics(m, d, mats=mats)
     d = K.com_pos(m, d)
     d = K.tendon(m, d)
     return d

@@ -81,21 +81,13 @@ def test_com_quantities_parity(rodent, seed):
     mjd = randomize(mj_model, seed)
     d = run_ours(model, mjd)
     np.testing.assert_allclose(np.asarray(d.subtree_com), mjd.subtree_com, atol=1e-10)
-    np.testing.assert_allclose(np.asarray(d.cdof), mjd.cdof, atol=1e-9)
-    # cinert: mujoco rows are [Ixx Iyy Izz Ixy Ixz Iyz, h, m] about c-frame
+    # component-major layouts: cdof is (6, nv), cinert packed (6, nbody)
+    np.testing.assert_allclose(np.asarray(d.cdof).T, mjd.cdof, atol=1e-9)
+    # cinert: mujoco rows are [Ixx Iyy Izz Ixy Ixz Iyz, h, m] about c-frame —
+    # the same packing order as cinert_s rows
     ci = mjd.cinert
-    ours_i = np.asarray(d.cinert_i)
-    ours_h = np.asarray(d.cinert_h)
-    for b in range(model.nbody):
-        ref_i = np.array(
-            [
-                [ci[b, 0], ci[b, 3], ci[b, 4]],
-                [ci[b, 3], ci[b, 1], ci[b, 5]],
-                [ci[b, 4], ci[b, 5], ci[b, 2]],
-            ]
-        )
-        np.testing.assert_allclose(ours_i[b], ref_i, atol=1e-9)
-        np.testing.assert_allclose(ours_h[b], ci[b, 6:9], atol=1e-10)
+    np.testing.assert_allclose(np.asarray(d.cinert_s).T, ci[:, :6], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(d.cinert_h).T, ci[:, 6:9], atol=1e-10)
 
 
 @pytest.mark.parametrize("seed", [0, 1])
@@ -103,8 +95,8 @@ def test_velocity_parity(rodent, seed):
     model, mj_model = rodent
     mjd = randomize(mj_model, seed)
     d = run_ours(model, mjd)
-    np.testing.assert_allclose(np.asarray(d.cvel), mjd.cvel, atol=1e-9)
-    np.testing.assert_allclose(np.asarray(d.cdof_dot), mjd.cdof_dot, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(d.cvel).T, mjd.cvel, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(d.cdof_dot).T, mjd.cdof_dot, atol=1e-9)
 
 
 @pytest.mark.parametrize("seed", [0, 1])
@@ -144,7 +136,7 @@ def test_fly_smooth_parity():
     mjd = randomize(mj_model, 7)
     d = run_ours(model, mjd)
     np.testing.assert_allclose(np.asarray(d.xpos), mjd.xpos, atol=1e-10)
-    np.testing.assert_allclose(np.asarray(d.cvel), mjd.cvel, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(d.cvel).T, mjd.cvel, atol=1e-9)
     ref_m = np.zeros((mj_model.nv, mj_model.nv))
     mujoco.mj_fullM(mj_model, mjd, ref_m)
     np.testing.assert_allclose(np.asarray(d.qM), ref_m, atol=1e-9)
