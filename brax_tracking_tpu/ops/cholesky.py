@@ -255,6 +255,84 @@ def inverse_batched(qM: jax.Array, interpret: bool = False) -> jax.Array:
     return jnp.transpose(ot, (2, 0, 1))[:B, :nv, :nv]
 
 
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def inverse2_batched(
+    qM: jax.Array, damp: jax.Array, interpret: bool = False
+):
+    """inv(M) and inv(M + diag(damp)) sharing one transpose+pad of M.
+
+    The lane-batched layout transform (B,n,n) -> (n,n,Bp) is a significant
+    fraction of an inversion's cost; the Euler implicit-damping solve needs
+    the second inverse every substep, so both are produced from one staged
+    operand. damp: (nv,) static per-dof damping*dt.
+    """
+    B, nv, _ = qM.shape
+    n = _round_up(nv, _SUBLANE)
+    Bp = _round_up(B, LANE)
+    a = _pad_spd(qM, n)
+    if Bp != B:
+        a = jnp.concatenate([a, jnp.tile(a[-1:], (Bp - B, 1, 1))], axis=0)
+    at = jnp.transpose(a, (1, 2, 0))  # (n, n, Bp)
+
+    def run(x):
+        return pl.pallas_call(
+            functools.partial(_inverse_kernel, nv),
+            grid=(Bp // LANE,),
+            in_specs=[
+                pl.BlockSpec(
+                    (n, n, LANE), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+                )
+            ],
+            out_specs=pl.BlockSpec(
+                (n, n, LANE), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((n, n, Bp), qM.dtype),
+            interpret=interpret,
+        )(x)
+
+    inv1 = run(at)
+    idx = jnp.arange(nv)
+    at2 = at.at[idx, idx].add(damp.astype(qM.dtype)[:, None])
+    inv2 = run(at2)
+    return (
+        jnp.transpose(inv1, (2, 0, 1))[:B, :nv, :nv],
+        jnp.transpose(inv2, (2, 0, 1))[:B, :nv, :nv],
+    )
+
+
+@jax.custom_batching.custom_vmap
+def spd_inverse2(qM: jax.Array, damp: jax.Array):
+    """(inv(M), inv(M + diag(damp))) — unbatched/CPU via Cholesky."""
+    eye = jnp.eye(qM.shape[0], dtype=qM.dtype)
+    c1 = jax.scipy.linalg.cho_factor(qM)
+    c2 = jax.scipy.linalg.cho_factor(qM + jnp.diag(damp.astype(qM.dtype)))
+    return jax.scipy.linalg.cho_solve(c1, eye), jax.scipy.linalg.cho_solve(c2, eye)
+
+
+@spd_inverse2.def_vmap
+def _spd_inverse2_vmap(axis_size, in_batched, qM, damp):
+    qm_b, d_b = in_batched
+    if not qm_b:
+        return spd_inverse2(qM, damp), (False, False)
+    if d_b:
+        damp0 = damp[0]
+    else:
+        damp0 = damp
+    if _use_pallas(qM):
+        return inverse2_batched(qM, damp0), (True, True)
+
+    def _one(q):
+        eye = jnp.eye(q.shape[0], dtype=q.dtype)
+        c1 = jax.scipy.linalg.cho_factor(q)
+        c2 = jax.scipy.linalg.cho_factor(q + jnp.diag(damp0.astype(q.dtype)))
+        return (
+            jax.scipy.linalg.cho_solve(c1, eye),
+            jax.scipy.linalg.cho_solve(c2, eye),
+        )
+
+    return jax.vmap(_one)(qM), (True, True)
+
+
 @jax.custom_batching.custom_vmap
 def spd_inverse(qM: jax.Array) -> jax.Array:
     """(nv, nv) SPD -> inverse (Cholesky-based on the unbatched/CPU path)."""

@@ -140,24 +140,36 @@ def _kbi(m: M.Model, solref, solimp, pos, dtype):
 
 
 def _contact_jac(m: M.Model, d: M.Data, layout: EfcLayout):
-    """Translational jacobian difference at each contact point: (ncon, 3, nv)."""
+    """Translational jacobian difference at each contact point: (ncon, 3, nv).
+
+    One matmul, no (ncon, nv, 3) intermediates: with off = p_c - com(root),
+      frame_row . (lin_v + ang_v x off) = [off x frame_row | frame_row] . cdof_v
+    (scalar triple product), so per tree root J = A @ cdof with
+    A = (ncon*3, 6). Dofs of different kinematic roots (e.g. the two rats in
+    rodent_pair) are combined with static root-membership masks.
+    """
     dtype = d.qpos.dtype
     b1 = m.geom_bodyid[layout.con_geom1]
     b2 = m.geom_bodyid[layout.con_geom2]
-    mask1 = jnp.asarray(m.body_dof_mask[b1], dtype)  # (ncon, nv)
-    mask2 = jnp.asarray(m.body_dof_mask[b2], dtype)
-    # c-frame origins per dof: subtree_com of the dof's tree root
-    com = d.subtree_com[m.body_rootid[m.dof_bodyid]]  # (nv, 3)
-    ang = d.cdof[:3].T  # (nv, 3)
-    lin = d.cdof[3:].T
-    # jacp[:, v] at point p = lin_v + ang_v x (p - com_v)
+    md = (
+        jnp.asarray(m.body_dof_mask[b2], dtype)
+        - jnp.asarray(m.body_dof_mask[b1], dtype)
+    )  # (ncon, nv): body2 minus body1 (normal points g1 -> g2)
     p = d.contact_pos  # (ncon, 3)
-    offset = p[:, None, :] - com[None, :, :]  # (ncon, nv, 3)
-    jacp = lin[None] + jnp.cross(jnp.broadcast_to(ang[None], offset.shape), offset, axis=-1)
-    # difference: body2 minus body1 (normal points g1 -> g2)
-    jdiff = jacp * (mask2 - mask1)[..., None]  # (ncon, nv, 3)
-    # project on frame rows -> (ncon, 3, nv)
-    return jnp.einsum("cvk,cnk->cnv", jdiff, d.contact_frame)
+    F = d.contact_frame  # (ncon, 3, 3)
+
+    dof_root = np.asarray(m.body_rootid)[np.asarray(m.dof_bodyid)]
+    roots = np.unique(dof_root)
+    J = None
+    for r in roots:
+        off = p - d.subtree_com[int(r)]  # (ncon, 3)
+        ofx = jnp.cross(jnp.broadcast_to(off[:, None, :], F.shape), F, axis=-1)
+        A = jnp.concatenate([ofx, F], axis=-1)  # (ncon, 3, 6)
+        Jr = jnp.einsum("cnk,kv->cnv", A, d.cdof)
+        if len(roots) > 1:
+            Jr = Jr * jnp.asarray(dof_root == r, dtype)[None, None, :]
+        J = Jr if J is None else J + Jr
+    return J * md[:, None, :]
 
 
 def make_constraint(m: M.Model, d: M.Data) -> M.Data:

@@ -65,9 +65,19 @@ def invert_m(m: M.Model, d: M.Data) -> M.Data:
     downstream M^-1 rhs (qacc_smooth + one per CG iteration in the
     constraint solver) into a single batched matmul instead of an nv-step
     triangular substitution — the solver's hot path on TPU.
+
+    With joint damping, (M + h diag(B))^-1 (the Euler implicit-damping
+    update, step.py) is produced in the same call, sharing the lane-batched
+    layout staging.
     """
     from brax_tracking_tpu.ops import cholesky as ops_chol
 
+    if m.has_damping:
+        damp = m.dof_damping.astype(d.qpos.dtype) * m.opt.timestep.astype(
+            d.qpos.dtype
+        )
+        qMinv, qMhinv = ops_chol.spd_inverse2(d.qM, damp)
+        return d.replace(qMinv=qMinv, qMhinv=qMhinv)
     return d.replace(qMinv=ops_chol.spd_inverse(d.qM))
 
 

@@ -263,6 +263,7 @@ class Data:
     qM: jax.Array = None  # (nv, nv) dense
     qLD: jax.Array = None  # (nv, nv) cholesky factor of qM
     qMinv: jax.Array = None  # (nv, nv) inverse of qM (TPU fast path)
+    qMhinv: jax.Array = None  # (nv, nv) inverse of qM + h diag(damping)
     qfrc_bias: jax.Array = None  # (nv,)
     qfrc_passive: jax.Array = None  # (nv,)
     qfrc_actuator: jax.Array = None  # (nv,)

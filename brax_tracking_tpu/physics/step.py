@@ -125,12 +125,9 @@ def step(m: M.Model, d: M.Data) -> M.Data:
         # Implicit joint damping (MuJoCo Euler): damping already contributes
         # -B v_t inside qfrc_smooth, so the implicit velocity update is
         #   v' = v + h (M + hB)^-1 (qfrc_smooth + qfrc_constraint).
-        # Uses the lane-batched Pallas sweep inversion on TPU (ops/cholesky.py).
-        from brax_tracking_tpu.ops import cholesky as ops_chol
-
+        # (M + hB)^-1 was produced alongside qMinv (dynamics.invert_m).
         qfrc = d.qfrc_smooth + d.qfrc_constraint
-        mh = d.qM + dt * jnp.diag(m.dof_damping.astype(d.qpos.dtype))
-        qvel_new = d.qvel + dt * (ops_chol.spd_inverse(mh) @ qfrc)
+        qvel_new = d.qvel + dt * (d.qMhinv @ qfrc)
     else:
         qvel_new = d.qvel + dt * d.qacc
 
