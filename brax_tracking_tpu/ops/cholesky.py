@@ -32,6 +32,15 @@ LANE = 128
 _SUBLANE = 8
 
 
+def _compiler_params(n: int):
+    """Raise the scoped-VMEM limit for big-nv tiles (rodent_pair nv=146:
+    a (152, 152, 128) f32 in+out pair needs ~45 MB; the default limit is
+    16 MB while v5e has 128 MB VMEM)."""
+    if n <= 96:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=int(110e6))
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -136,6 +145,7 @@ def factor_batched(qM: jax.Array, interpret: bool = False) -> jax.Array:
         ),
         out_shape=jax.ShapeDtypeStruct((n, n, Bp), qM.dtype),
         interpret=interpret,
+        compiler_params=_compiler_params(n),
     )(at)
     return jnp.transpose(ut, (2, 0, 1))[:B, :nv, :nv]
 
@@ -169,6 +179,7 @@ def solve_batched(U: jax.Array, b: jax.Array, interpret: bool = False) -> jax.Ar
             pltpu.VMEM((n, LANE), b.dtype),
         ],
         interpret=interpret,
+        compiler_params=_compiler_params(n),
     )(ut, bt)
     return jnp.transpose(xt, (1, 0))[:B, :nv]
 
@@ -251,6 +262,7 @@ def inverse_batched(qM: jax.Array, interpret: bool = False) -> jax.Array:
         ),
         out_shape=jax.ShapeDtypeStruct((n, n, Bp), qM.dtype),
         interpret=interpret,
+        compiler_params=_compiler_params(n),
     )(at)
     return jnp.transpose(ot, (2, 0, 1))[:B, :nv, :nv]
 
@@ -288,6 +300,7 @@ def inverse2_batched(
             ),
             out_shape=jax.ShapeDtypeStruct((n, n, Bp), qM.dtype),
             interpret=interpret,
+            compiler_params=_compiler_params(n),
         )(x)
 
     inv1 = run(at)
