@@ -112,3 +112,27 @@ def test_multiclip_selects_and_tracks(minirat):
     assert idxs.shape == (6,)
     bstate2 = jax.jit(jax.vmap(env.step))(bstate, jnp.zeros((6, env.action_size)))
     np.testing.assert_array_equal(np.asarray(bstate2.info["clip_idx"]), idxs)
+
+
+def test_obs_window_matches_dynamic_slice(minirat):
+    """The obs reference window is a clamped index gather (TPU-friendly);
+    it must keep jax.lax.dynamic_slice's start-clamping semantics at the
+    clip tail."""
+    model, clip = minirat
+    env = _make(model, clip)
+    T = clip.joints.shape[0]
+    for cur in (0, 3, T - 2, T + 5):  # incl. beyond-end clamping
+        cur_frame = jnp.asarray(cur, jnp.int32)
+        obs = env._get_obs(_reset_data(env), cur_frame)
+        ref = clip.joints
+        want = jax.lax.dynamic_slice_in_dim(
+            ref, jnp.clip(cur_frame + 1, 0, T - env._ref_len), env._ref_len
+        )
+        start = jnp.clip(cur_frame + 1, 0, T - env._ref_len)
+        got = ref[start + jnp.arange(env._ref_len)]
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        assert np.isfinite(np.asarray(obs)).all()
+
+
+def _reset_data(env):
+    return jax.jit(env.reset)(jax.random.PRNGKey(0)).pipeline_state
