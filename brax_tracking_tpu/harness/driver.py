@@ -44,6 +44,12 @@ def _build_one_clip(cfg: Dict, env_model, clip_idx: int):
     if os.path.exists(cache):
         return C.load_clip(cache)
     dt = 1.0 / ds.get("mocap_hz", 50)
+    if ds.get("stac_path") and not os.path.exists(ds["stac_path"]):
+        _logger.warning(
+            "dataset.stac_path %s does not exist -> synthetic demo clip",
+            ds["stac_path"],
+        )
+        ds = dict(ds, stac_path="")
     if ds.get("stac_path"):
         clip = C.process_clip_to_train(
             ds["stac_path"],

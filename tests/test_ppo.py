@@ -202,3 +202,50 @@ def test_ppo_learns_point_mass():
     )
     # A random policy scores ~ -32 * 0.6; a decent one drives to ~ -5 or better.
     assert metrics["eval/episode_reward"] > -12.0, metrics
+
+
+@pytest.mark.slow
+def test_ppo_trains_multiclip_sharded():
+    """BASELINE config 5 shape: multi-clip tracking env, envs sharded over
+    the 8-device virtual mesh feeding the sharded learner."""
+    import numpy as np
+
+    from brax_tracking_tpu.data import clips as C
+    from brax_tracking_tpu.envs.tracking import GenericMultiClip
+    from brax_tracking_tpu.physics import spec as bspec
+
+    model = bspec.build_model("builtin:minirat.xml", dtype=jnp.float32)
+    T = 32
+    base = np.tile(np.asarray(model.qpos0, np.float64), (T, 1))
+    clips = []
+    for k in range(3):
+        q = base.copy()
+        q[:, 0] += np.linspace(0.0, 0.02 * (k + 1), T)
+        clips.append(C.process_clip(model, jnp.asarray(q, jnp.float32)))
+    stacked = C.stack_clips(clips)
+    env = GenericMultiClip(
+        reference_clip=stacked,
+        mjcf_path="builtin:minirat.xml",
+        center_of_mass="torso",
+        end_eff_names=["foot_L", "foot_R"],
+        body_names=["torso"],
+        joint_names=["hip_L"],
+        strict_name_lookup=False,
+        start_frame_range=(0, 8),
+    )
+    make_policy, params, metrics = ppo_train.train(
+        environment=env,
+        num_timesteps=256,
+        episode_length=8,
+        num_envs=16,
+        learning_rate=3e-4,
+        unroll_length=4,
+        batch_size=16,
+        num_minibatches=2,
+        num_updates_per_batch=1,
+        num_evals=1,
+        num_eval_envs=16,
+        normalize_observations=True,
+        seed=0,
+    )
+    assert np.isfinite(float(metrics["eval/episode_reward"]))
