@@ -179,14 +179,15 @@ def make_constraint(m: M.Model, d: M.Data) -> M.Data:
     nefc, nv = layout.nefc, m.nv
     if nefc == 0:
         return d.replace(
-            efc_J=jnp.zeros((0, nv), dtype),
+            efc_Jc=jnp.zeros((0, nv), dtype),
+            efc_jsign=jnp.zeros(0, dtype),
             efc_D=jnp.zeros(0, dtype),
             efc_aref=jnp.zeros(0, dtype),
             efc_pos=jnp.zeros(0, dtype),
             efc_margin=jnp.zeros(0, dtype),
         )
 
-    efc_J = jnp.zeros((nefc, nv), dtype)
+    efc_jsign = jnp.zeros((layout.limit_rows.size,), dtype)
     efc_D = jnp.zeros(nefc, dtype)
     efc_aref = jnp.zeros(nefc, dtype)
     efc_pos = jnp.zeros(nefc, dtype)
@@ -218,7 +219,7 @@ def make_constraint(m: M.Model, d: M.Data) -> M.Data:
         invweight = m.dof_invweight0[dadr].astype(dtype)
         r = jnp.maximum((1 - imp) / imp * invweight, M.MINVAL)
         rows = layout.limit_rows
-        efc_J = efc_J.at[rows, dadr].set(sign)
+        efc_jsign = sign
         efc_D = efc_D.at[rows].set(1.0 / r)
         efc_aref = efc_aref.at[rows].set(aref)
         efc_pos = efc_pos.at[rows].set(dist)
@@ -291,7 +292,7 @@ def make_constraint(m: M.Model, d: M.Data) -> M.Data:
         invw = jnp.where(is_pyr, invw_pyr, invw_ell)
         r_reg = jnp.maximum((1 - imp[slot]) / imp[slot] * invw, M.MINVAL)
 
-        efc_J = jax.lax.dynamic_update_slice(efc_J, jrow, (row0, 0))
+        efc_Jc = jrow  # contact rows are the trailing block; store dense
         efc_D = jax.lax.dynamic_update_slice(efc_D, 1.0 / r_reg, (row0,))
         efc_aref = jax.lax.dynamic_update_slice(efc_aref, aref, (row0,))
         efc_pos = jax.lax.dynamic_update_slice(efc_pos, dist[slot], (row0,))
@@ -299,10 +300,57 @@ def make_constraint(m: M.Model, d: M.Data) -> M.Data:
             efc_margin, includemargin[slot], (row0,)
         )
 
+    if not ncon:
+        efc_Jc = jnp.zeros((0, nv), dtype)
     return d.replace(
-        efc_J=efc_J,
+        efc_Jc=efc_Jc,
+        efc_jsign=efc_jsign,
         efc_D=efc_D,
         efc_aref=efc_aref,
         efc_pos=efc_pos,
         efc_margin=efc_margin,
     )
+
+
+def limit_dofs(m: M.Model) -> np.ndarray:
+    """Static dof address of each limit row."""
+    layout = efc_layout(m)
+    return np.asarray(m.jnt_dofadr)[np.asarray(layout.limit_jnt)]
+
+
+def jac_mul(m: M.Model, d: M.Data, x: jax.Array) -> jax.Array:
+    """J @ x without materializing the dense J: limit rows are gathers."""
+    parts = []
+    if d.efc_jsign.shape[0]:
+        parts.append(d.efc_jsign * x[limit_dofs(m)])
+    if d.efc_Jc.shape[0]:
+        parts.append(d.efc_Jc @ x)
+    if not parts:
+        return jnp.zeros((0,), x.dtype)
+    return jnp.concatenate(parts)
+
+
+def jac_t_mul(m: M.Model, d: M.Data, f: jax.Array) -> jax.Array:
+    """J^T @ f: one-hot scatter for limit rows + dense contact block."""
+    nlim = d.efc_jsign.shape[0]
+    out = jnp.zeros((m.nv,), f.dtype)
+    if nlim:
+        L1 = jnp.asarray(
+            np.eye(m.nv, dtype=np.float64)[limit_dofs(m)], f.dtype
+        )  # (nlim, nv)
+        out = out + (d.efc_jsign * f[:nlim]) @ L1
+    if d.efc_Jc.shape[0]:
+        out = out + d.efc_Jc.T @ f[nlim:]
+    return out
+
+
+def dense_J(m: M.Model, d: M.Data) -> jax.Array:
+    """Reconstructed dense (nefc, nv) jacobian (tests / debugging only)."""
+    layout = efc_layout(m)
+    nlim = d.efc_jsign.shape[0]
+    J = jnp.zeros((layout.nefc, m.nv), d.efc_D.dtype)
+    if nlim:
+        J = J.at[np.arange(nlim), limit_dofs(m)].set(d.efc_jsign)
+    if d.efc_Jc.shape[0]:
+        J = J.at[nlim:].set(d.efc_Jc)
+    return J

@@ -276,7 +276,11 @@ class Data:
     contact_pos: jax.Array = None  # (ncon, 3)
     contact_frame: jax.Array = None  # (ncon, 3, 3) rows: normal, tan1, tan2
     # constraint rows (static layout; see constraint.efc_layout)
-    efc_J: jax.Array = None  # (nefc, nv)
+    # Constraint jacobian, split by structure: limit rows are one-hot
+    # (a runtime sign at a static dof), so only the contact block is dense.
+    # Row order in all (nefc,) vectors: limits [0, nlim) then contacts.
+    efc_Jc: jax.Array = None  # (nefc - nlim, nv) contact-row jacobian block
+    efc_jsign: jax.Array = None  # (nlim,) limit-row signs (+-1)
     efc_D: jax.Array = None  # (nefc,)
     efc_aref: jax.Array = None  # (nefc,)
     efc_pos: jax.Array = None  # (nefc,)

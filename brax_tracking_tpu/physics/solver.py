@@ -263,11 +263,11 @@ def solve(m: M.Model, d: M.Data) -> M.Data:
             m, meta, layout, friction, exists_row, exists_con, jar, d.efc_D
         )
         gauss = 0.5 * jnp.dot(x - d.qacc_smooth, mxa)
-        grad = mxa - d.efc_J.T @ force
+        grad = mxa - Cn.jac_t_mul(m, d, force)
         mgrad = D.solve_m(m, d, grad)
         return _Ctx(x, jar, mxa, force, cost + gauss, grad, mgrad)
 
-    jar0 = d.efc_J @ d.qacc_smooth - d.efc_aref
+    jar0 = Cn.jac_mul(m, d, d.qacc_smooth) - d.efc_aref
     ctx = eval_ctx(d.qacc_smooth, jar0, jnp.zeros(m.nv, dtype))
     p = -ctx.mgrad
 
@@ -275,7 +275,7 @@ def solve(m: M.Model, d: M.Data) -> M.Data:
 
     def cg_iter(carry, _):
         ctx, p, done = carry
-        jar_p = d.efc_J @ p
+        jar_p = Cn.jac_mul(m, d, p)
         mp = d.qM @ p
         alpha = _linesearch(
             m, meta, layout, friction, exists_row, exists_con, ctx, p, jar_p, mp, d
@@ -310,7 +310,7 @@ def solve(m: M.Model, d: M.Data) -> M.Data:
         unroll=n_cg <= 16,
     )
 
-    qfrc_constraint = d.efc_J.T @ ctx.force
+    qfrc_constraint = Cn.jac_t_mul(m, d, ctx.force)
     return d.replace(
         qacc=ctx.x, qfrc_constraint=qfrc_constraint, efc_force=ctx.force
     )

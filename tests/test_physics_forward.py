@@ -100,7 +100,7 @@ def test_rodent_efc_rows_parity(rodent, seed):
     layout = bcn.efc_layout(model)
     our_pos = np.asarray(d.contact_pos)
     J = mjd.efc_J.reshape(mjd.nefc, mj.nv)
-    ourJ, ourD = np.asarray(d.efc_J), np.asarray(d.efc_D)
+    ourJ, ourD = np.asarray(bcn.dense_J(model, d)), np.asarray(d.efc_D)
     ouraref, ourpos = np.asarray(d.efc_aref), np.asarray(d.efc_pos)
     # map oracle contacts to our slots by geom pair + position
     slotmap = {}
