@@ -142,7 +142,8 @@ def _eval_callback(cfg: Dict, env, logger, model_path: str):
                 )
                 video_path = os.path.join(model_path, f"rollout_{num_steps}.mp4")
                 R.render_rollout_vs_reference(
-                    cfg["dataset"]["rendering_mjcf"],
+                    cfg["dataset"].get("rendering_mjcf")
+                    or cfg["dataset"]["env_args"]["mjcf_path"],
                     qposes_roll,
                     env._ref_traj,
                     video_path,

@@ -42,9 +42,21 @@ def render_rollout_vs_reference(
     fps: float = 50.0,
     frame_stride: Optional[int] = None,
 ) -> str:
-    """Renders [qpos_ref ++ qpos_rollout] through the pair model."""
+    """Renders [qpos_ref ++ qpos_rollout] through the pair model.
+
+    With a single (non-pair) model whose nq matches the rollout, only the
+    rollout is replayed (datasets without a pair scene, e.g. minirat).
+    """
     import mujoco
 
+    if pair_mjcf.startswith("builtin:"):
+        from brax_tracking_tpu.physics import spec as bspec
+        import os
+
+        pair_mjcf = os.path.join(
+            os.path.dirname(bspec.__file__), "..", "assets",
+            pair_mjcf[len("builtin:"):],
+        )
     spec = mujoco.MjSpec.from_file(pair_mjcf)
     if not free_jnt:
         # tethered: drop the replicated free joints (main.py:283-287)
@@ -62,10 +74,14 @@ def render_rollout_vs_reference(
     qposes_rollout = qposes_rollout[::frame_stride]
     T = min(len(qposes_ref), len(qposes_rollout))
 
+    pair = mj_model.nq != qposes_rollout.shape[1]
     renderer = make_renderer(mj_model, height=height, width=width)
     frames = []
     for t in range(T):
-        mj_data.qpos = np.concatenate([qposes_ref[t], qposes_rollout[t]])
+        if pair:
+            mj_data.qpos = np.concatenate([qposes_ref[t], qposes_rollout[t]])
+        else:
+            mj_data.qpos = qposes_rollout[t][: mj_model.nq]
         mujoco.mj_forward(mj_model, mj_data)
         renderer.update_scene(mj_data, camera=camera)
         frames.append(renderer.render())
