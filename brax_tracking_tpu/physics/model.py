@@ -262,8 +262,9 @@ class Data:
     # dynamics products
     qM: jax.Array = None  # (nv, nv) dense
     qLD: jax.Array = None  # (nv, nv) cholesky factor of qM
-    qMinv: jax.Array = None  # (nv, nv) inverse of qM (TPU fast path)
+    qMinv: jax.Array = None  # (nv, nv) inverse of qM (XLA solver path)
     qMhinv: jax.Array = None  # (nv, nv) inverse of qM + h diag(damping)
+    qvel_next: jax.Array = None  # (nv,) Euler velocity update (quad-kernel path)
     qfrc_bias: jax.Array = None  # (nv,)
     qfrc_passive: jax.Array = None  # (nv,)
     qfrc_actuator: jax.Array = None  # (nv,)

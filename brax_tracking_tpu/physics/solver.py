@@ -235,7 +235,13 @@ def _linesearch(m, meta, layout, friction, exists_row, exists_con, ctx, p, jar_p
 
 
 def solve(m: M.Model, d: M.Data) -> M.Data:
-    """CG solve for qacc; writes qacc, qfrc_constraint, efc_force."""
+    """CG solve for qacc; writes qacc, qfrc_constraint, efc_force.
+
+    Quad-only models (limits + pyramidal contacts) dispatch through a
+    custom_vmap: the env-batched TPU path runs the whole solve as one
+    Pallas megakernel (ops/cg.py); elliptic-cone models (fly) and
+    unbatched/CPU calls use the XLA implementation below.
+    """
     dtype = d.qpos.dtype
     layout = Cn.efc_layout(m)
     if layout.nefc == 0 or m.nv == 0:
@@ -245,6 +251,241 @@ def solve(m: M.Model, d: M.Data) -> M.Data:
             efc_force=jnp.zeros(0, dtype),
         )
     meta = _cone_meta(m, layout)
+    if quad_kernel_eligible(m):
+        return _solve_quad(m, d, layout)
+    return _solve_xla(m, d, layout, meta)
+
+
+def quad_kernel_eligible(m: M.Model) -> bool:
+    """True when the constraint cost is purely one-sided quadratic and the
+    iteration count is unrollable — the _solve_quad/megakernel path.
+
+    Models on this path skip materializing qMinv/qMhinv in forward():
+    the solve computes qacc_smooth and the Euler velocity update itself.
+    """
+    if m.nv == 0:
+        return False
+    layout = Cn.efc_layout(m)
+    if layout.nefc == 0:
+        return False
+    meta = _cone_meta(m, layout)
+    return (
+        meta.ell_con.size == 0
+        and meta.quad_rows.size == layout.nefc
+        and max(int(m.opt.iterations), 1) <= 16
+    )
+
+
+def _solve_quad(m: M.Model, d: M.Data, layout: Cn.EfcLayout) -> M.Data:
+    """Dispatch for purely one-sided-quadratic constraint costs.
+
+    Beyond the CG solve itself this also produces qacc_smooth and the Euler
+    implicit-damping velocity update (qvel_next) — on the batched TPU path
+    the whole tail of the substep runs as one Pallas megakernel in which
+    M^-1 never leaves VMEM.
+    """
+    nv = m.nv
+    nlim = int(layout.limit_rows.size)
+    dadr_lim = Cn.limit_dofs(m)
+    L1 = np.eye(nv, dtype=np.float64)[dadr_lim]  # (nlim, nv) static
+    iters = max(int(m.opt.iterations), 1)
+    ls_iters = max(int(m.opt.ls_iterations), 1)
+    tol = (
+        float(np.asarray(m.opt.tolerance))
+        * float(np.asarray(m.opt.meaninertia))
+        * max(1, nv)
+    )
+    dt = float(np.asarray(m.opt.timestep))
+    damp = np.asarray(m.dof_damping, np.float64) * dt
+    has_damping = bool(m.has_damping)
+    exists_row = d.efc_pos < d.efc_margin
+    statics = dict(
+        L1=L1, iters=iters, ls_iters=ls_iters, tol=tol, dt=dt, damp=damp,
+        has_damping=has_damping,
+    )
+
+    @jax.custom_batching.custom_vmap
+    def cg(qM, Jc, jsign, D, aref, exists, qfrc_smooth, qvel):
+        return _cg_arrays_quad(
+            qM, Jc, jsign, D, aref, exists, qfrc_smooth, qvel, **statics
+        )
+
+    @cg.def_vmap
+    def _cg_vmap(
+        axis_size, in_batched, qM, Jc, jsign, D, aref, exists, qfrc_smooth, qvel
+    ):
+        from brax_tracking_tpu.ops import cholesky as ops_chol
+
+        if all(in_batched) and ops_chol._use_pallas(qM):
+            from brax_tracking_tpu.ops import cg as ops_cg
+
+            J = Jc
+            if nlim:
+                Jlim = jsign[..., None] * jnp.asarray(L1, qM.dtype)[None]
+                J = jnp.concatenate([Jlim, Jc], axis=1)
+            out = ops_cg.cg_solve_batched(
+                qM, J, D, aref, exists, qfrc_smooth, qvel,
+                jnp.asarray(damp, qM.dtype),
+                iters=iters, ls_iters=ls_iters, tol=tol, dt=dt,
+                has_damping=has_damping,
+            )
+            return out, (True,) * 5
+
+        out = jax.vmap(
+            lambda *a: _cg_arrays_quad(*a, **statics)
+        )(qM, Jc, jsign, D, aref, exists, qfrc_smooth, qvel)
+        return out, (True,) * 5
+
+    x, force, qfrc, a0, qvel_next = cg(
+        d.qM,
+        d.efc_Jc,
+        d.efc_jsign,
+        d.efc_D,
+        d.efc_aref,
+        exists_row,
+        d.qfrc_smooth,
+        d.qvel,
+    )
+    return d.replace(
+        qacc=x,
+        qfrc_constraint=qfrc,
+        efc_force=force,
+        qacc_smooth=a0,
+        qvel_next=qvel_next,
+    )
+
+
+def _cg_arrays_quad(qM, Jc, jsign, D, aref, exists, qfrc_smooth, qvel, *, L1,
+                    iters, ls_iters, tol, dt, damp, has_damping):
+    """Per-env quad-only CG on plain arrays (reference path for the Pallas
+    kernel; same math as _solve_xla restricted to quadratic rows, plus the
+    qacc_smooth / Euler-damping products the kernel fuses in)."""
+    dtype = qM.dtype
+    nlim = jsign.shape[0]
+    dadr_lim = np.nonzero(L1)[1] if nlim else np.zeros(0, np.int64)
+    minval = M.MINVAL
+
+    eye = jnp.eye(qM.shape[0], dtype=dtype)
+    c1 = jax.scipy.linalg.cho_factor(qM)
+    qMinv = jax.scipy.linalg.cho_solve(c1, eye)
+    a0 = qMinv @ qfrc_smooth
+
+    def jmul(x):
+        parts = []
+        if nlim:
+            parts.append(jsign * x[dadr_lim])
+        if Jc.shape[0]:
+            parts.append(Jc @ x)
+        return jnp.concatenate(parts) if parts else jnp.zeros((0,), dtype)
+
+    def jtmul(f):
+        out = jnp.zeros(qM.shape[0], dtype)
+        if nlim:
+            out = out + (jsign * f[:nlim]) @ jnp.asarray(L1, dtype)
+        if Jc.shape[0]:
+            out = out + Jc.T @ f[nlim:]
+        return out
+
+    def cost_force(jar):
+        active = (jar < 0) & exists
+        f = jnp.where(active, -D * jar, 0.0)
+        cost = 0.5 * jnp.sum(jnp.where(active, D * jar**2, 0.0))
+        return cost, f
+
+    def eval_ctx(x, jar, mxa):
+        cost, force = cost_force(jar)
+        gauss = 0.5 * jnp.dot(x - a0, mxa)
+        grad = mxa - jtmul(force)
+        mgrad = qMinv @ grad
+        return force, cost + gauss, grad, mgrad
+
+    x = a0
+    jar = jmul(x) - aref
+    mxa = jnp.zeros_like(x)
+    force, cost, grad, mgrad = eval_ctx(x, jar, mxa)
+    p = -mgrad
+    done = jnp.zeros((), bool)
+
+    def cg_iter(carry, _):
+        x, jar, mxa, force, cost, grad, mgrad, p, done = carry
+        jar_p = jmul(p)
+        mp = qM @ p
+        pmp = jnp.dot(p, mp)
+        gauss_p = jnp.dot(p, mxa)
+
+        def dphi(alpha):
+            a = alpha[..., None]
+            jar_a = jar + a * jar_p
+            active = (jar_a < 0) & exists
+            dval = gauss_p + alpha * pmp + jnp.sum(
+                jnp.where(active, D * jar_a * jar_p, 0.0), -1
+            )
+            ddval = pmp + jnp.sum(jnp.where(active, D * jar_p**2, 0.0), -1)
+            return dval, ddval
+
+        d0, dd0 = dphi(jnp.zeros((1,), dtype))
+        guess = jnp.maximum(-d0[0] / jnp.maximum(dd0[0], minval), minval)
+        cand = guess * jnp.asarray(2.0 ** np.arange(13), dtype)
+        dcand, _ = dphi(cand)
+        pos = dcand >= 0
+        hi = jnp.min(jnp.where(pos, cand, cand[-1]))
+        lo = jnp.max(jnp.where(~pos & (cand < hi), cand, 0.0))
+        alpha = jnp.minimum(guess, hi)
+
+        def ls_iter(c, _):
+            alpha, lo, hi = c
+            dv, ddv = dphi(alpha[None])
+            dv, ddv = dv[0], ddv[0]
+            lo = jnp.where(dv < 0, alpha, lo)
+            hi = jnp.where(dv >= 0, alpha, hi)
+            newton = alpha - dv / jnp.maximum(ddv, minval)
+            inside = (newton > lo) & (newton < hi)
+            alpha = jnp.where(inside, newton, 0.5 * (lo + hi))
+            return (alpha, lo, hi), None
+
+        (alpha, _, _), _ = jax.lax.scan(
+            ls_iter, (alpha, lo, hi), (), length=ls_iters, unroll=ls_iters <= 16
+        )
+
+        x_new = x + alpha * p
+        jar_new = jar + alpha * jar_p
+        mxa_new = mxa + alpha * mp
+        force_new, cost_new, grad_new, mgrad_new = eval_ctx(
+            x_new, jar_new, mxa_new
+        )
+        improvement = cost - cost_new
+        gradient = jnp.linalg.norm(grad_new)
+        beta = jnp.dot(grad_new, mgrad_new - mgrad) / jnp.maximum(
+            jnp.dot(grad, mgrad), minval
+        )
+        beta = jnp.maximum(0.0, beta)
+        p_new = -mgrad_new + beta * p
+        step_done = (improvement < tol) | (gradient < tol)
+        new = (x_new, jar_new, mxa_new, force_new, cost_new, grad_new, mgrad_new, p_new)
+        old = (x, jar, mxa, force, cost, grad, mgrad, p)
+        frozen = jax.tree.map(lambda a, b: jnp.where(done, b, a), new, old)
+        return frozen + (done | step_done,), None
+
+    carry = (x, jar, mxa, force, cost, grad, mgrad, p, done)
+    carry, _ = jax.lax.scan(cg_iter, carry, (), length=iters, unroll=iters <= 16)
+    x, _, _, force, _, _, _, _, _ = carry
+    qfrc_constraint = jtmul(force)
+
+    # Euler implicit-damping velocity update (step.py consumes qvel_next)
+    qfrc_total = qfrc_smooth + qfrc_constraint
+    if has_damping:
+        mh = qM + jnp.diag(jnp.asarray(damp, dtype))
+        c2 = jax.scipy.linalg.cho_factor(mh)
+        mhinv = jax.scipy.linalg.cho_solve(c2, eye)
+        qvel_next = qvel + dt * (mhinv @ qfrc_total)
+    else:
+        qvel_next = qvel + dt * x
+    return x, force, qfrc_constraint, a0, qvel_next
+
+
+def _solve_xla(m: M.Model, d: M.Data, layout: Cn.EfcLayout, meta: _ConeMeta) -> M.Data:
+    """General (incl. elliptic-cone) CG solve in plain XLA."""
+    dtype = d.qpos.dtype
     friction = m.pairs.friction.astype(dtype) if m.ncon else jnp.zeros((0, 5), dtype)
     # spatial gating: a row is instantiated iff its pos is within margin
     exists_row = d.efc_pos < d.efc_margin

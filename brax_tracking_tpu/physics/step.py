@@ -56,18 +56,25 @@ def forward(m: M.Model, d: M.Data) -> M.Data:
     from brax_tracking_tpu.physics import solver as S
     from brax_tracking_tpu.physics import sensor as Sn
 
+    quad_kernel = S.quad_kernel_eligible(m)
     d = fwd_position_smooth(m, d)
     d = C.collision(m, d)
     d = D.crb(m, d)
-    d = D.invert_m(m, d)
+    if not quad_kernel:
+        # the quad-kernel solve path computes M^-1 products internally
+        # (in VMEM on TPU) — no materialized inverses needed
+        d = D.invert_m(m, d)
     d = fwd_velocity_smooth(m, d)
     d = P.passive(m, d)
     d = D.rne(m, d)
     d = A.fwd_actuation(m, d)
     # smooth acceleration
     qfrc_smooth = d.qfrc_passive - d.qfrc_bias + d.qfrc_actuator
-    qacc_smooth = D.solve_m(m, d, qfrc_smooth)
-    d = d.replace(qfrc_smooth=qfrc_smooth, qacc_smooth=qacc_smooth)
+    if quad_kernel:
+        d = d.replace(qfrc_smooth=qfrc_smooth)  # qacc_smooth set by solve
+    else:
+        qacc_smooth = D.solve_m(m, d, qfrc_smooth)
+        d = d.replace(qfrc_smooth=qfrc_smooth, qacc_smooth=qacc_smooth)
     # constraints
     d = Cn.make_constraint(m, d)
     d = S.solve(m, d)
@@ -121,7 +128,11 @@ def step(m: M.Model, d: M.Data) -> M.Data:
     d = forward(m, d)
     dt = m.opt.timestep.astype(d.qpos.dtype)
 
-    if m.has_damping:
+    if d.qvel_next is not None:
+        # quad-kernel solve path: the Euler implicit-damping update was
+        # produced inside the solve (in VMEM on TPU)
+        qvel_new = d.qvel_next
+    elif m.has_damping:
         # Implicit joint damping (MuJoCo Euler): damping already contributes
         # -B v_t inside qfrc_smooth, so the implicit velocity update is
         #   v' = v + h (M + hB)^-1 (qfrc_smooth + qfrc_constraint).
