@@ -269,11 +269,19 @@ def quad_kernel_eligible(m: M.Model) -> bool:
     if layout.nefc == 0:
         return False
     meta = _cone_meta(m, layout)
-    return (
+    if not (
         meta.ell_con.size == 0
         and meta.quad_rows.size == layout.nefc
         and max(int(m.opt.iterations), 1) <= 16
-    )
+    ):
+        return False
+    # VMEM budget: the kernel holds J (Rp,Vp,128), qM + scratch (Vp,Vp,128)
+    # and ~2 J-sized intermediates resident; models past ~100 MB (e.g.
+    # rodent_pair: nv=146, nefc~590) keep the XLA path
+    rp = (layout.nefc + 7) // 8 * 8
+    vp = (m.nv + 7) // 8 * 8
+    vmem = (3 * rp * vp + 2 * vp * vp) * 128 * 4
+    return vmem < int(95e6)
 
 
 def _solve_quad(m: M.Model, d: M.Data, layout: Cn.EfcLayout) -> M.Data:
