@@ -170,6 +170,29 @@ def main(argv=None) -> Dict:
         os.makedirs(paths[key], exist_ok=True)
     save_config(cfg, os.path.join(paths["save_dir"], "run_config.yaml"))
 
+    import jax
+
+    # persistent executable cache: the reference-scale trainer graph takes
+    # minutes to compile cold; restarts and repeat runs hit the cache
+    cache_dir = cfg.get("compilation_cache_dir", "~/.cache/btt_jax_cache")
+    if cache_dir:
+        jax.config.update(
+            "jax_compilation_cache_dir", os.path.expanduser(cache_dir)
+        )
+    if os.environ.get("BTT_DEBUG_NANS") == "1" or cfg.get("debug_nans"):
+        # fail fast at the op that produced the first NaN (SURVEY §5:
+        # sanitizer mode; default training instead relies on the envs'
+        # NaN-to-done guards)
+        jax.config.update("jax_debug_nans", True)
+    profile_dir = cfg.get("profile_dir") or os.environ.get("BTT_PROFILE_DIR")
+    if profile_dir:
+        # capture a device trace of the first post-init epochs; inspect with
+        # tensorboard's profile plugin or the xplane proto directly
+        jax.profiler.start_trace(os.path.expanduser(profile_dir))
+        import atexit
+
+        atexit.register(jax.profiler.stop_trace)
+
     from brax_tracking_tpu.agents.ppo import train as ppo_train
     from brax_tracking_tpu.agents.ppo import networks as ppo_networks
     from brax_tracking_tpu.envs import registry
