@@ -441,20 +441,28 @@ def train(
         import os
 
         if os.path.exists(restore_checkpoint_path):
-            _logger.info("restoring from checkpoint %s", restore_checkpoint_path)
-            try:
-                training_state = checkpoint.restore_checkpoint(
-                    restore_checkpoint_path, training_state
-                )
-            except Exception:
+            # Probe the layout first so a corrupt/partial checkpoint fails
+            # with ITS error, not a confusing secondary layout mismatch.
+            layout = checkpoint.checkpoint_layout(restore_checkpoint_path)
+            _logger.info(
+                "restoring from checkpoint %s (layout: %s)",
+                restore_checkpoint_path,
+                layout,
+            )
+            if layout == "reference":
                 # Reference-layout checkpoint: (normalizer, params) only
-                # (custom_ppo.py:416-423).
+                # (custom_ppo.py:416-423); optimizer state / env_steps
+                # restart, matching the reference's resume semantics.
                 normalizer_params, restored_params = checkpoint.restore_checkpoint(
                     restore_checkpoint_path,
                     (training_state.normalizer_params, init_params),
                 )
                 training_state = training_state.replace(
                     normalizer_params=normalizer_params, params=restored_params
+                )
+            else:
+                training_state = checkpoint.restore_checkpoint(
+                    restore_checkpoint_path, training_state
                 )
 
     training_state = jax.device_put(training_state, mesh.replicated)

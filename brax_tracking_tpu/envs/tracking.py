@@ -136,8 +136,15 @@ class TrackingEnv(PipelineEnv):
     # ------------------------------------------------------------------
     @property
     def observation_size(self) -> int:
-        rng = jax.random.PRNGKey(0)
-        return self.reset(rng).obs.shape[-1]
+        # cached, and derived via eval_shape: abstract tracing only — no
+        # compilation or device compute of the physics pipeline just to
+        # learn a shape (trainer setup calls this)
+        size = getattr(self, "_obs_size_cache", None)
+        if size is None:
+            out = jax.eval_shape(self.reset, jax.ShapeDtypeStruct((2,), jnp.uint32))
+            size = int(out.obs.shape[-1])
+            object.__setattr__(self, "_obs_size_cache", size)
+        return size
 
     def _init_metrics(self, dtype):
         zero = jnp.zeros((), dtype)

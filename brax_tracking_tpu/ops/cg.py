@@ -301,11 +301,18 @@ def _cg_kernel(
         alpha = jnp.minimum(guess, hi)
         for _ in range(ls_iters):
             dv, ddv = dphi(alpha)
-            lo = jnp.where(dv < 0.0, alpha, lo)
-            hi = jnp.where(dv >= 0.0, alpha, hi)
+            # freeze once converged: at dv ~ 0 the Newton step underflows to
+            # newton == alpha == lo and the open-interval safeguard would
+            # bisect AWAY from the optimum (same fix as solver._cg_arrays)
+            conv = jnp.where(jnp.abs(dv) < tol, 1.0, 0.0)
+            lo2 = jnp.where(dv < 0.0, alpha, lo)
+            hi2 = jnp.where(dv >= 0.0, alpha, hi)
             newton = alpha - dv / jnp.maximum(ddv, minval)
-            inside = jnp.logical_and(newton > lo, newton < hi)
-            alpha = jnp.where(inside, newton, 0.5 * (lo + hi))
+            inside = jnp.logical_and(newton > lo2, newton < hi2)
+            alpha2 = jnp.where(inside, newton, 0.5 * (lo2 + hi2))
+            alpha = conv * alpha + (1.0 - conv) * alpha2
+            lo = conv * lo + (1.0 - conv) * lo2
+            hi = conv * hi + (1.0 - conv) * hi2
 
         aV = jnp.broadcast_to(alpha, x.shape)
         aR = jnp.broadcast_to(alpha, jar.shape)

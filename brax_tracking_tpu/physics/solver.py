@@ -216,15 +216,26 @@ def _linesearch(m, meta, layout, friction, exists_row, exists_con, ctx, p, jar_p
     lo = jnp.max(jnp.where(~pos & (cand < hi), cand, 0.0))
     alpha = jnp.minimum(guess, hi)
 
+    ls_gtol = (
+        m.opt.tolerance.astype(dtype)
+        * m.opt.meaninertia.astype(dtype)
+        * max(1, m.nv)
+    )
+
     def ls_iter(carry, _):
         alpha, lo, hi = carry
         dv, ddv = dphi(alpha[None])
         dv, ddv = dv[0], ddv[0]
-        lo = jnp.where(dv < 0, alpha, lo)
-        hi = jnp.where(dv >= 0, alpha, hi)
+        # freeze once converged (see _cg_arrays.ls_iter)
+        conv = jnp.abs(dv) < ls_gtol
+        lo2 = jnp.where(dv < 0, alpha, lo)
+        hi2 = jnp.where(dv >= 0, alpha, hi)
         newton = alpha - dv / jnp.maximum(ddv, M.MINVAL)
-        inside = (newton > lo) & (newton < hi)
-        alpha = jnp.where(inside, newton, 0.5 * (lo + hi))
+        inside = (newton > lo2) & (newton < hi2)
+        alpha2 = jnp.where(inside, newton, 0.5 * (lo2 + hi2))
+        alpha = jnp.where(conv, alpha, alpha2)
+        lo = jnp.where(conv, lo, lo2)
+        hi = jnp.where(conv, hi, hi2)
         return (alpha, lo, hi), None
 
     n_ls = max(int(m.opt.ls_iterations), 1)
@@ -379,8 +390,12 @@ def _solve_quad(m: M.Model, d: M.Data, layout: Cn.EfcLayout) -> M.Data:
             )
             return out, (True,) * 5
 
+        # Map only the batched operands: e.g. for quad-only models e_con is
+        # an unbatched bool[0] constant and must be passed through (in_axes
+        # None), not mapped — mapping it raises "vmap got inconsistent sizes".
+        in_axes = tuple(0 if b else None for b in in_batched)
         out = jax.vmap(
-            lambda *a: _cg_arrays(*a, **statics)
+            lambda *a: _cg_arrays(*a, **statics), in_axes=in_axes
         )(qM, Jc, jsign, D, aref, exists, e_con, qfrc_smooth, qvel)
         return out, (True,) * 5
 
@@ -404,6 +419,26 @@ def _solve_quad(m: M.Model, d: M.Data, layout: Cn.EfcLayout) -> M.Data:
     )
 
 
+def _sweep_inverse(a: jax.Array) -> jax.Array:
+    """SPD inverse by the sweep operator — the SAME elimination order and
+    update formulas as ops/cg._sweep_invert, so this array path and the
+    Pallas megakernel produce (near-)identical iterates and the kernel
+    parity test can hold a tight per-element tolerance."""
+
+    def body(k, s):
+        row = s[k]  # (n,)
+        col = s[:, k]  # (n,)
+        dinv = 1.0 / s[k, k]
+        row_d = row * dinv
+        s = s - col[:, None] * row_d[None, :]
+        s = s.at[k].set(row_d)
+        s = s.at[:, k].set(-col * dinv)
+        s = s.at[k, k].set(dinv)
+        return s
+
+    return jax.lax.fori_loop(0, a.shape[0], body, a)
+
+
 def _cg_arrays(qM, Jc, jsign, D, aref, exists, e_con, qfrc_smooth, qvel, *,
                L1, iters, ls_iters, tol, dt, damp, has_damping, quad_mask,
                ell0, ell_mu, ell_scale):
@@ -425,8 +460,7 @@ def _cg_arrays(qM, Jc, jsign, D, aref, exists, e_con, qfrc_smooth, qvel, *,
         return v[ell0 : ell0 + 3 * nell].reshape(nell, 3)
 
     eye = jnp.eye(qM.shape[0], dtype=dtype)
-    c1 = jax.scipy.linalg.cho_factor(qM)
-    qMinv = jax.scipy.linalg.cho_solve(c1, eye)
+    qMinv = _sweep_inverse(qM)
     a0 = qMinv @ qfrc_smooth
 
     def jmul(x):
@@ -562,11 +596,19 @@ def _cg_arrays(qM, Jc, jsign, D, aref, exists, e_con, qfrc_smooth, qvel, *,
             alpha, lo, hi = c
             dv, ddv = dphi(alpha[None])
             dv, ddv = dv[0], ddv[0]
-            lo = jnp.where(dv < 0, alpha, lo)
-            hi = jnp.where(dv >= 0, alpha, hi)
+            # freeze once converged: at dv ~ 0 the Newton step underflows to
+            # newton == alpha == lo, the open-interval safeguard would bisect
+            # AWAY from the optimum, and post-convergence iterates are pure
+            # rounding-noise amplification
+            conv = jnp.abs(dv) < tol
+            lo2 = jnp.where(dv < 0, alpha, lo)
+            hi2 = jnp.where(dv >= 0, alpha, hi)
             newton = alpha - dv / jnp.maximum(ddv, minval)
-            inside = (newton > lo) & (newton < hi)
-            alpha = jnp.where(inside, newton, 0.5 * (lo + hi))
+            inside = (newton > lo2) & (newton < hi2)
+            alpha2 = jnp.where(inside, newton, 0.5 * (lo2 + hi2))
+            alpha = jnp.where(conv, alpha, alpha2)
+            lo = jnp.where(conv, lo, lo2)
+            hi = jnp.where(conv, hi, hi2)
             return (alpha, lo, hi), None
 
         (alpha, _, _), _ = jax.lax.scan(
@@ -601,8 +643,7 @@ def _cg_arrays(qM, Jc, jsign, D, aref, exists, e_con, qfrc_smooth, qvel, *,
     qfrc_total = qfrc_smooth + qfrc_constraint
     if has_damping:
         mh = qM + jnp.diag(jnp.asarray(damp, dtype))
-        c2 = jax.scipy.linalg.cho_factor(mh)
-        mhinv = jax.scipy.linalg.cho_solve(c2, eye)
+        mhinv = _sweep_inverse(mh)
         qvel_next = qvel + dt * (mhinv @ qfrc_total)
     else:
         qvel_next = qvel + dt * x

@@ -34,6 +34,29 @@ def restore_checkpoint(path: str, target: Any) -> Any:
     return ckptr.restore(path, item=jax.device_get(target))
 
 
+def checkpoint_layout(path: str) -> str:
+    """Probe a checkpoint's tree structure without restoring it.
+
+    Returns ``"full"`` for this framework's TrainingState layout (dict with
+    an ``optimizer_state`` key), ``"reference"`` for the reference's bare
+    ``(normalizer_params, params)`` tuple layout (custom_ppo.py:416-423),
+    and ``"unknown"`` if the structure matches neither — so callers can
+    fail loudly on corrupt/partial checkpoints instead of masking the
+    original restore error behind a layout fallback.
+    """
+    path = os.path.abspath(path)
+    try:
+        md = ocp.PyTreeCheckpointer().metadata(path)
+        tree = md.item_metadata.tree
+    except Exception:
+        return "unknown"
+    if isinstance(tree, dict) and "optimizer_state" in tree:
+        return "full"
+    if isinstance(tree, (list, tuple)) and len(tree) == 2:
+        return "reference"
+    return "unknown"
+
+
 def latest_checkpoint(root: str) -> Optional[str]:
     """Newest step-named subdirectory under ``root`` (restart-from-latest)."""
     if not os.path.isdir(root):

@@ -1,0 +1,24 @@
+#!/usr/bin/env bash
+# Pre-commit gate: full test suite + multichip dryrun on 8 virtual CPU devices.
+#
+# Run this before ANY commit touching brax_tracking_tpu/physics/ or
+# brax_tracking_tpu/ops/ (round-1 retro: a final-hours perf commit shipped
+# with a red suite and a broken multichip path; this script is the guard).
+#
+# Usage: scripts/check.sh [pytest args...]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== pytest =="
+python -m pytest tests/ -q "$@"
+
+echo "== multichip dryrun (8 virtual devices) =="
+XLA_FLAGS="--xla_force_host_platform_device_count=8" python -c "
+import jax
+jax.config.update('jax_platforms', 'cpu')
+import __graft_entry__ as g
+g.dryrun_multichip(8)
+print('dryrun_multichip(8): ok')
+"
+
+echo "== check.sh: ALL GREEN =="
