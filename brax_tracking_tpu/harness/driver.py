@@ -88,13 +88,14 @@ def _build_clip(cfg: Dict, env_model):
     )
 
 
-def _eval_callback(cfg: Dict, env, logger, model_path: str):
-    """policy_params_fn parity (main.py:136-325): snapshot + rollout stats
-    (+ optional video)."""
+def _eval_callback(cfg: Dict, env, logger, model_path: str, fig_dir: str = ""):
+    """policy_params_fn parity (main.py:136-325): snapshot + rollout stats,
+    per-frame reward/ thorax-height artifacts (+ optional video)."""
     import jax
     import jax.numpy as jnp
 
     from brax_tracking_tpu.envs.wrappers import RenderRolloutWrapperTracking
+    from brax_tracking_tpu.harness import eval_plots
     from brax_tracking_tpu.training import checkpoint
 
     rollout_env = RenderRolloutWrapperTracking(env)
@@ -127,11 +128,51 @@ def _eval_callback(cfg: Dict, env, logger, model_path: str):
         for k, v in table.items():
             stats[f"rollout/{k}_mean"] = float(np.nanmean(v))
             stats[f"rollout/{k}_min"] = float(np.nanmin(v))
-        pos_dist = [float(s.info.get("summed_pos_distance", np.nan)) for s in rollout[1:]]
-        stats["rollout/summed_pos_distance_mean"] = float(np.nanmean(pos_dist))
+        distances = {
+            k: np.asarray(
+                [float(s.info.get(k, np.nan)) for s in rollout[1:]]
+            )
+            for k in ("summed_pos_distance", "quat_distance", "joint_distance")
+        }
+        stats["rollout/summed_pos_distance_mean"] = float(
+            np.nanmean(distances["summed_pos_distance"])
+        )
         logger.log(stats, step=num_steps)
         with open(os.path.join(model_path, f"rollout_{num_steps}.p"), "wb") as f:
             pickle.dump(table, f)
+
+        # per-frame deep-dive artifacts (reference main.py:154-258 logs these
+        # as wandb line-plot tables; here: CSV + PNGs under fig_dir)
+        try:
+            thorax = np.asarray(
+                [
+                    np.asarray(s.pipeline_state.xpos)[env._thorax_idx, 2]
+                    for s in rollout
+                ]
+            )
+            ref_bp = getattr(env._ref_traj, "body_positions", None)
+            ref_thorax = None
+            if ref_bp is not None:
+                bp = np.asarray(ref_bp)
+                if bp.ndim == 4:  # multi-clip: (n_clips, T, nbody, 3) -> clip 0
+                    bp = bp[0]
+                # one entry per control step to share the x axis
+                frames = np.minimum(
+                    (
+                        np.arange(len(rollout)) / max(env._steps_for_cur_frame, 1)
+                    ).astype(int),
+                    bp.shape[0] - 1,
+                )
+                ref_thorax = bp[frames, env._thorax_idx, 2]
+            paths = eval_plots.emit_eval_artifacts(
+                fig_dir or model_path, num_steps, table, distances,
+                thorax, ref_thorax,
+            )
+            logger.log(
+                {f"rollout/{k}": v for k, v in paths.items()}, step=num_steps
+            )
+        except Exception as e:  # artifacts must never kill training
+            _logger.warning("per-frame eval artifacts failed: %s", e)
 
         if cfg["train"].get("render_video"):
             try:
@@ -244,7 +285,9 @@ def main(argv=None) -> Dict:
     )
 
     model_path = os.path.join(paths["ckpt_dir"], run_name)
-    policy_params_fn = _eval_callback(cfg, env, logger, model_path)
+    policy_params_fn = _eval_callback(
+        cfg, env, logger, model_path, fig_dir=paths["fig_dir"]
+    )
 
     def progress_fn(num_steps, metrics):
         logger.log(metrics, step=num_steps)

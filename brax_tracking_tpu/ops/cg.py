@@ -65,6 +65,13 @@ def _sweep_invert(nv: int, s_ref):
     jax.lax.fori_loop(0, nv, body, 0)
 
 
+def _chunk_rows(total: int, vp: int, lane: int, budget: int = 6_000_000) -> int:
+    """Row-chunk size (multiple of the sublane) keeping one (RB, Vp, L)
+    f32 product temporary under ``budget`` bytes."""
+    rb = max(_SUBLANE, (budget // (vp * lane * 4)) // _SUBLANE * _SUBLANE)
+    return min(total, rb)
+
+
 def _cg_kernel(
     nv: int,
     nefc: int,
@@ -97,27 +104,54 @@ def _cg_kernel(
 ):
     f32 = jnp.float32
     qM = qM_ref[:]  # (Vp, Vp, L)
-    J = J_ref[:]  # (Rp, Vp, L)
     D = D_ref[:]  # (Rp, L)
     aref = aref_ref[:]
     # exists is pre-masked by the wrapper to quad rows only (0 on ell rows)
     exists = exists_ref[:]  # (Rp, L) 0/1
     qfrc_smooth = qfrc_smooth_ref[:]  # (Vp, L)
 
+    Rp, Vp, L = J_ref.shape
+
     # layout anchors (see module docstring)
     zV = qfrc_smooth * 0.0  # (Vp, L)
     zR = aref * 0.0  # (Rp, L)
 
+    # J products are row-chunked: each chunk's (RB, Vp, L) product temp
+    # stays a few MB so large models (rodent_pair: Rp=592, Vp=152, J 46 MB
+    # resident) fit the VMEM budget — J itself is read from the ref
+    # slice-by-slice and never duplicated into a full-size temporary.
+    RB = _chunk_rows(Rp, Vp, L)
+
     def jmul(x):  # (Vp, L) -> (Rp, L)
-        return jnp.sum(J * jnp.broadcast_to(x[None, :, :], J.shape), axis=1) + zR
+        xb = x[None, :, :]
+        parts = []
+        for off in range(0, Rp, RB):
+            n = min(RB, Rp - off)
+            Jc = J_ref[pl.ds(off, n)]
+            parts.append(jnp.sum(Jc * jnp.broadcast_to(xb, Jc.shape), axis=1))
+        out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        return out + zR
 
     def jtmul(f):  # (Rp, L) -> (Vp, L)
-        return jnp.sum(J * jnp.broadcast_to(f[:, None, :], J.shape), axis=0) + zV
+        out = zV
+        for off in range(0, Rp, RB):
+            n = min(RB, Rp - off)
+            Jc = J_ref[pl.ds(off, n)]
+            fc = jax.lax.slice_in_dim(f, off, off + n, axis=0)[:, None, :]
+            out = out + jnp.sum(Jc * jnp.broadcast_to(fc, Jc.shape), axis=0)
+        return out
+
+    VB = _chunk_rows(Vp, Vp, L)
 
     def mmul(mat, x):  # (Vp, Vp, L), (Vp, L) -> (Vp, L)
-        return (
-            jnp.sum(mat * jnp.broadcast_to(x[None, :, :], mat.shape), axis=1) + zV
-        )
+        xb = x[None, :, :]
+        parts = []
+        for off in range(0, Vp, VB):
+            n = min(VB, Vp - off)
+            mc = jax.lax.slice_in_dim(mat, off, off + n, axis=0)
+            parts.append(jnp.sum(mc * jnp.broadcast_to(xb, mc.shape), axis=1))
+        out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        return out + zV
 
     # --- M^-1 lives only in VMEM --------------------------------------
     scratch_ref[:] = qM
@@ -184,7 +218,8 @@ def _cg_kernel(
     p = -mgrad
     done = jnp.zeros((1, x.shape[-1]), f32)  # 0/1 per lane
 
-    for _ in range(iters):
+    def cg_body(carry):
+        x, jar, mxa, force, cost, grad, mgrad, p, done = carry
         jar_p = jmul(p)
         mp = mmul(qM, p)
         pmp = jnp.sum(p * mp, axis=0, keepdims=True)
@@ -299,7 +334,9 @@ def _cg_kernel(
             keepdims=True,
         )
         alpha = jnp.minimum(guess, hi)
-        for _ in range(ls_iters):
+
+        def ls_body(c):
+            alpha, lo, hi = c
             dv, ddv = dphi(alpha)
             # freeze once converged: at dv ~ 0 the Newton step underflows to
             # newton == alpha == lo and the open-interval safeguard would
@@ -313,6 +350,15 @@ def _cg_kernel(
             alpha = conv * alpha + (1.0 - conv) * alpha2
             lo = conv * lo + (1.0 - conv) * lo2
             hi = conv * hi + (1.0 - conv) * hi2
+            return alpha, lo, hi
+
+        lsc = (alpha, lo, hi)
+        if ls_iters <= 16:
+            for _ in range(ls_iters):
+                lsc = ls_body(lsc)
+        else:
+            lsc = jax.lax.fori_loop(0, ls_iters, lambda _, c: ls_body(c), lsc)
+        alpha, lo, hi = lsc
 
         aV = jnp.broadcast_to(alpha, x.shape)
         aR = jnp.broadcast_to(alpha, jar.shape)
@@ -348,6 +394,17 @@ def _cg_kernel(
         mgrad = dV * mgrad + kV * mgrad_new
         p = dV * p + kV * p_new
         done = jnp.maximum(done, step_done)
+        return (x, jar, mxa, force, cost, grad, mgrad, p, done)
+
+    carry = (x, jar, mxa, force, cost, grad, mgrad, p, done)
+    if iters <= 16:
+        for _ in range(iters):
+            carry = cg_body(carry)
+    else:
+        # rolled loop for big iteration counts (rodent_pair: 100) — an
+        # unrolled Mosaic body would blow up code size and compile time
+        carry = jax.lax.fori_loop(0, iters, lambda _, c: cg_body(c), carry)
+    x, jar, mxa, force, cost, grad, mgrad, p, done = carry
 
     qfrc_constraint = jtmul(force)
     x_ref[:] = x
@@ -516,7 +573,7 @@ def cg_solve_batched(
         ],
         scratch_shapes=[pltpu.VMEM((Vp, Vp, LANE), dtype)],
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=int(110e6)),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=int(120e6)),
     )(qMt, Jt, Dt, areft, existst, mut, sc1t, sc2t, econt, fst, qvt, dampt)
     force = jnp.transpose(force_t, (1, 0))[:B, :nefc]
     if nell:

@@ -280,7 +280,9 @@ def quad_kernel_eligible(m: M.Model) -> bool:
     if layout.nefc == 0:
         return False
     meta = _cone_meta(m, layout)
-    if max(int(m.opt.iterations), 1) > 16:
+    if max(int(m.opt.iterations), 1) > 128:
+        # the kernel rolls iteration counts > 16 into a fori_loop, but far
+        # past ~128 the fixed-trip loop wastes too much masked work
         return False
     if meta.ell_con.size:
         # elliptic contacts are kernelizable when their rows form one
@@ -296,13 +298,14 @@ def quad_kernel_eligible(m: M.Model) -> bool:
             return False
     elif meta.quad_rows.size != layout.nefc:
         return False
-    # VMEM budget: the kernel holds J (Rp,Vp,128), qM + scratch (Vp,Vp,128)
-    # and ~2 J-sized intermediates resident; models past ~100 MB (e.g.
-    # rodent_pair: nv=146, nefc~590) keep the XLA path
+    # VMEM budget: resident tiles are J (Rp,Vp,128), qM + sweep scratch +
+    # the M^-1 copy (3x Vp,Vp,128); the J/qM product temporaries are
+    # row-chunked to ~6 MB each (ops/cg._chunk_rows), so they no longer
+    # scale with the model. rodent_pair (nv=146, nefc~590: ~94 MB) fits.
     rp = (layout.nefc + 7) // 8 * 8
     vp = (m.nv + 7) // 8 * 8
-    vmem = (3 * rp * vp + 2 * vp * vp) * 128 * 4
-    return vmem < int(95e6)
+    vmem = (rp * vp + 3 * vp * vp) * 128 * 4 + int(12e6)
+    return vmem < int(100e6)
 
 
 def _solve_quad(m: M.Model, d: M.Data, layout: Cn.EfcLayout) -> M.Data:

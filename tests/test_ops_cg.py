@@ -26,13 +26,14 @@ def _problem(rng, B, nv, nlim, ncrow, dtype=np.float32):
     return qM, Jc, jsign, D, aref, exists, qfrc, qvel, damp, L1
 
 
-def _run_both(rng, B, nv, nlim, ncrow, has_damping, nell=0, dtype=np.float32):
+def _run_both(rng, B, nv, nlim, ncrow, has_damping, nell=0, dtype=np.float32,
+              iters=4, ls_iters=4):
     """nell: number of dim-3 elliptic contacts placed at the START of the
     contact block (rows [nlim, nlim+3*nell))."""
     qM, Jc, jsign, D, aref, exists, qfrc, qvel, damp, L1 = _problem(
         rng, B, nv, nlim, ncrow, dtype
     )
-    iters, ls_iters, tol, dt = 4, 4, 1e-8, 0.002
+    tol, dt = 1e-8, 0.002
     nefc = nlim + ncrow
 
     quad_mask = np.ones(nefc)
@@ -187,3 +188,16 @@ def test_kernel_f32_solution_quality(B, nv, nlim, nell, extra):
     ncrow = 3 * nell + extra
     kout, bout, prob = _run_both(rng, B, nv, nlim, ncrow, True, nell=nell)
     _check(kout, bout, prob, rtol=5e-1, atol=8e-1, cost_rtol=1.5e-1)
+
+
+def test_kernel_rolled_loops_match_array_path():
+    """iters/ls_iters > 16 take the kernel's fori_loop (rolled) branches —
+    the rodent_pair configuration (iterations=100, ls_iterations=50,
+    solver.py quad_kernel_eligible). Same f64 machine-epsilon parity as the
+    unrolled path, on a problem sized to exercise multi-chunk jmul/jtmul."""
+    rng = np.random.RandomState(2)
+    with _x64():
+        kout, bout, prob = _run_both(
+            rng, 4, 24, 6, 40, True, dtype=np.float64, iters=20, ls_iters=20
+        )
+        _check(kout, bout, prob, rtol=1e-9, atol=1e-11)
