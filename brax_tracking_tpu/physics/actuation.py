@@ -20,8 +20,18 @@ from brax_tracking_tpu.physics import model as M
 
 
 def _moment_length_velocity(m: M.Model, d: M.Data):
-    """Actuator transmission: (nu, nv) moment matrix + lengths/velocities."""
+    """Actuator transmission: (nu, nv) moment matrix + lengths/velocities.
+
+    mj_transmission semantics per trntype:
+    - joint (hinge/slide): length = gear0 * qpos, moment one-hot at the dof;
+    - joint (ball): length = gear[:3] . quat2vel(qpos4), moment rows are the
+      constant gear[:3] over the 3 dofs (engine_core_transmission.c,
+      mjTRN_JOINT / mjJNT_BALL branch);
+    - tendon: gear0-scaled tendon length/jacobian.
+    """
     dtype = d.qpos.dtype
+    from brax_tracking_tpu import math as btm
+
     moment = jnp.zeros((m.nu, m.nv), dtype)
     lengths = []
     for u in range(m.nu):
@@ -30,12 +40,20 @@ def _moment_length_velocity(m: M.Model, d: M.Data):
         tid = int(m.actuator_trnid[u, 0])
         if trn == M.TRN_JOINT:
             jtype = int(m.jnt_type[tid])
-            if jtype not in (M.JNT_HINGE, M.JNT_SLIDE):
-                raise NotImplementedError("only scalar-joint transmissions")
             qadr = int(m.jnt_qposadr[tid])
             dadr = int(m.jnt_dofadr[tid])
-            lengths.append(d.qpos[qadr] * gear)
-            moment = moment.at[u, dadr].set(gear)
+            if jtype in (M.JNT_HINGE, M.JNT_SLIDE):
+                lengths.append(d.qpos[qadr] * gear)
+                moment = moment.at[u, dadr].set(gear)
+            elif jtype == M.JNT_BALL:
+                gear3 = m.actuator_gear[u, :3].astype(dtype)
+                vel3 = btm.quat_to_axis_angle(d.qpos[qadr : qadr + 4])
+                lengths.append(jnp.dot(gear3, vel3))
+                moment = jax.lax.dynamic_update_slice(
+                    moment, gear3[None, :], (u, dadr)
+                )
+            else:
+                raise NotImplementedError("free-joint transmission")
         elif trn == M.TRN_TENDON:
             lengths.append(d.ten_length[tid] * gear)
             moment = moment.at[u].set(gear * d.ten_J[tid])
@@ -44,6 +62,110 @@ def _moment_length_velocity(m: M.Model, d: M.Data):
     length = jnp.stack(lengths) if m.nu else jnp.zeros(0, dtype)
     velocity = moment @ d.qvel
     return moment, length, velocity
+
+
+def _sigmoid(x):
+    """mju_sigmoid: quintic smoothstep clamped to [0, 1]."""
+    xc = jnp.clip(x, 0.0, 1.0)
+    return xc * xc * xc * (xc * (xc * 6.0 - 15.0) + 10.0)
+
+
+def _muscle_lv(length, vel, lengthrange, prm):
+    """Normalized muscle length L and velocity V (mju_muscleGain prologue)."""
+    r0, r1 = prm[..., 0], prm[..., 1]
+    vmax = prm[..., 6]
+    L0 = (lengthrange[..., 1] - lengthrange[..., 0]) / jnp.maximum(
+        M.MINVAL, r1 - r0
+    )
+    L = r0 + (length - lengthrange[..., 0]) / jnp.maximum(M.MINVAL, L0)
+    V = vel / jnp.maximum(M.MINVAL, L0 * vmax)
+    return L, V
+
+
+def _muscle_force(force, scale, acc0):
+    """Negative force means auto-scale by scale/acc0 (mju_muscle* scaling)."""
+    return jnp.where(force < 0, scale / jnp.maximum(M.MINVAL, acc0), force)
+
+
+def muscle_gain(length, vel, lengthrange, acc0, prm):
+    """mju_muscleGain: active FLV force, returned negative (pulls only).
+
+    prm = (range0, range1, force, scale, lmin, lmax, vmax, fpmax, fvmax);
+    piecewise-quadratic force-length bump on [lmin, lmax], piecewise
+    force-velocity curve saturating at fvmax.
+    """
+    force = _muscle_force(prm[..., 2], prm[..., 3], acc0)
+    lmin, lmax, fvmax = prm[..., 4], prm[..., 5], prm[..., 8]
+    L, V = _muscle_lv(length, vel, lengthrange, prm)
+
+    a = 0.5 * (lmin + 1.0)
+    b = 0.5 * (1.0 + lmax)
+    x1 = (L - lmin) / jnp.maximum(M.MINVAL, a - lmin)
+    x2 = (1.0 - L) / jnp.maximum(M.MINVAL, 1.0 - a)
+    x3 = (L - 1.0) / jnp.maximum(M.MINVAL, b - 1.0)
+    x4 = (lmax - L) / jnp.maximum(M.MINVAL, lmax - b)
+    FL = jnp.where(
+        (L >= lmin) & (L <= a),
+        0.5 * x1 * x1,
+        jnp.where(
+            (L > a) & (L <= 1.0),
+            1.0 - 0.5 * x2 * x2,
+            jnp.where(
+                (L > 1.0) & (L <= b),
+                1.0 - 0.5 * x3 * x3,
+                jnp.where((L > b) & (L <= lmax), 0.5 * x4 * x4, 0.0),
+            ),
+        ),
+    )
+    y = fvmax - 1.0
+    FV = jnp.where(
+        V <= -1.0,
+        0.0,
+        jnp.where(
+            V <= 0.0,
+            (V + 1.0) * (V + 1.0),
+            jnp.where(
+                V <= y, fvmax - (y - V) * (y - V) / jnp.maximum(M.MINVAL, y), fvmax
+            ),
+        ),
+    )
+    return -force * FL * FV
+
+
+def muscle_bias(length, lengthrange, acc0, prm):
+    """mju_muscleBias: passive force, half-quadratic then linear beyond b."""
+    force = _muscle_force(prm[..., 2], prm[..., 3], acc0)
+    lmax, fpmax = prm[..., 5], prm[..., 7]
+    L, _ = _muscle_lv(length, jnp.zeros_like(length), lengthrange, prm)
+    b = 0.5 * (1.0 + lmax)
+    xq = (L - 1.0) / jnp.maximum(M.MINVAL, b - 1.0)
+    xl = (L - b) / jnp.maximum(M.MINVAL, b - 1.0)
+    return jnp.where(
+        L <= 1.0,
+        0.0,
+        jnp.where(
+            L <= b, -force * fpmax * 0.5 * xq * xq, -force * fpmax * (0.5 + xl)
+        ),
+    )
+
+
+def muscle_dynamics(ctrl, act, prm):
+    """mju_muscleDynamics: Millard-style activation with optional smoothing.
+
+    prm = (tau_act, tau_deact, smoothing_width).
+    """
+    ctrlclamp = jnp.clip(ctrl, 0.0, 1.0)
+    actclamp = jnp.clip(act, 0.0, 1.0)
+    tau_act = prm[..., 0] * (0.5 + 1.5 * actclamp)
+    tau_deact = prm[..., 1] / (0.5 + 1.5 * actclamp)
+    width = prm[..., 2]
+    dctrl = ctrlclamp - act
+    tau_hard = jnp.where(dctrl > 0, tau_act, tau_deact)
+    tau_smooth = tau_deact + (tau_act - tau_deact) * _sigmoid(
+        dctrl / jnp.maximum(M.MINVAL, width) + 0.5
+    )
+    tau = jnp.where(width < M.MINVAL, tau_hard, tau_smooth)
+    return dctrl / jnp.maximum(M.MINVAL, tau)
 
 
 def fwd_actuation(m: M.Model, d: M.Data) -> M.Data:
@@ -80,26 +202,41 @@ def fwd_actuation(m: M.Model, d: M.Data) -> M.Data:
                 tau = jnp.maximum(m.actuator_dynprm[u, 0].astype(dtype), M.MINVAL)
                 act_dot = act_dot.at[aadr].set((ctrl[u] - act_u) / tau)
             inputs.append(act_u)
+        elif dyn == M.DYN_MUSCLE:
+            aadr = int(m.actuator_actadr[u]) + int(m.actuator_actnum[u]) - 1
+            act_u = d.act[aadr]
+            act_dot = act_dot.at[aadr].set(
+                muscle_dynamics(ctrl[u], act_u, m.actuator_dynprm[u].astype(dtype))
+            )
+            inputs.append(act_u)
         else:
             raise NotImplementedError(f"actuator dyntype {dyn}")
     inp = jnp.stack(inputs)
 
+    lr = m.actuator_lengthrange.astype(dtype)
+    acc0 = m.actuator_acc0.astype(dtype)
+
     # gain
     gaintype = np.asarray(m.actuator_gaintype)
     gp = m.actuator_gainprm.astype(dtype)
-    gain_fixed = gp[:, 0]
-    gain_affine = gp[:, 0] + gp[:, 1] * length + gp[:, 2] * velocity
-    gain = jnp.where(jnp.asarray(gaintype == M.GAIN_AFFINE), gain_affine, gain_fixed)
-    if not set(np.unique(gaintype)).issubset({M.GAIN_FIXED, M.GAIN_AFFINE}):
-        raise NotImplementedError("muscle gain")
+    gain = gp[:, 0]
+    if np.any(gaintype == M.GAIN_AFFINE):
+        gain_affine = gp[:, 0] + gp[:, 1] * length + gp[:, 2] * velocity
+        gain = jnp.where(jnp.asarray(gaintype == M.GAIN_AFFINE), gain_affine, gain)
+    if np.any(gaintype == M.GAIN_MUSCLE):
+        gain_mus = muscle_gain(length, velocity, lr, acc0, gp)
+        gain = jnp.where(jnp.asarray(gaintype == M.GAIN_MUSCLE), gain_mus, gain)
 
     # bias
     biastype = np.asarray(m.actuator_biastype)
     bp = m.actuator_biasprm.astype(dtype)
-    bias_affine = bp[:, 0] + bp[:, 1] * length + bp[:, 2] * velocity
-    bias = jnp.where(jnp.asarray(biastype == M.BIAS_AFFINE), bias_affine, 0.0)
-    if not set(np.unique(biastype)).issubset({M.BIAS_NONE, M.BIAS_AFFINE}):
-        raise NotImplementedError("muscle bias")
+    bias = jnp.zeros(m.nu, dtype)
+    if np.any(biastype == M.BIAS_AFFINE):
+        bias_affine = bp[:, 0] + bp[:, 1] * length + bp[:, 2] * velocity
+        bias = jnp.where(jnp.asarray(biastype == M.BIAS_AFFINE), bias_affine, bias)
+    if np.any(biastype == M.BIAS_MUSCLE):
+        bias_mus = muscle_bias(length, lr, acc0, bp)
+        bias = jnp.where(jnp.asarray(biastype == M.BIAS_MUSCLE), bias_mus, bias)
 
     force = gain * inp + bias
 

@@ -34,8 +34,10 @@ class EfcLayout:
     row_type: np.ndarray  # (nefc,)
     row_con: np.ndarray  # (nefc,) contact slot id or -1
     row_fdim: np.ndarray  # (nefc,) friction dim index (elliptic) / pyramid idx
-    limit_jnt: np.ndarray  # limited joint ids, in row order
-    limit_rows: np.ndarray  # row index of each limit row
+    limit_jnt: np.ndarray  # limited scalar (hinge/slide) joint ids, row order
+    limit_rows: np.ndarray  # row index of each scalar limit row
+    limit_ball_jnt: np.ndarray  # limited BALL joint ids (dense-row limits)
+    limit_ball_rows: np.ndarray  # row index of each ball limit row
     con_rows: np.ndarray  # (ncon,) first row of each contact slot (-1 if none)
     con_dim: np.ndarray  # (ncon,) condim per slot
     con_pair: np.ndarray  # (ncon,) pair index per slot
@@ -46,12 +48,27 @@ class EfcLayout:
 def efc_layout(m: M.Model) -> EfcLayout:
     limited = np.nonzero(np.asarray(m.jnt_limited))[0]
     for j in limited:
-        if m.jnt_type[j] not in (M.JNT_HINGE, M.JNT_SLIDE):
-            raise NotImplementedError("ball/free joint limits")
+        if m.jnt_type[j] == M.JNT_FREE:
+            # matches MuJoCo: free joints cannot be limited
+            raise NotImplementedError("free joint limits")
+    # Row order: scalar (hinge/slide) limits in joint order, then BALL
+    # limits in joint order, then contacts. Scalar limit rows are
+    # reconstructed from (jsign, static one-hot); ball limit rows have a
+    # dense state-dependent jacobian (-rotation axis over the 3 dofs,
+    # engine_core_constraint.c mj_instantiateLimit) and live at the HEAD of
+    # the dense efc_Jc block, before the contact rows.
+    scalar = [j for j in limited if m.jnt_type[j] in (M.JNT_HINGE, M.JNT_SLIDE)]
+    balls = [j for j in limited if m.jnt_type[j] == M.JNT_BALL]
     rows_type, rows_con, rows_fdim = [], [], []
     limit_rows = []
-    for j in limited:
+    for j in scalar:
         limit_rows.append(len(rows_type))
+        rows_type.append(ROW_LIMIT)
+        rows_con.append(-1)
+        rows_fdim.append(0)
+    limit_ball_rows = []
+    for j in balls:
+        limit_ball_rows.append(len(rows_type))
         rows_type.append(ROW_LIMIT)
         rows_con.append(-1)
         rows_fdim.append(0)
@@ -94,8 +111,10 @@ def efc_layout(m: M.Model) -> EfcLayout:
         row_type=np.array(rows_type, np.int32),
         row_con=np.array(rows_con, np.int32),
         row_fdim=np.array(rows_fdim, np.int32),
-        limit_jnt=limited.astype(np.int32),
+        limit_jnt=np.array(scalar, np.int32),
         limit_rows=np.array(limit_rows, np.int32),
+        limit_ball_jnt=np.array(balls, np.int32),
+        limit_ball_rows=np.array(limit_ball_rows, np.int32),
         con_rows=con_rows,
         con_dim=con_dim,
         con_pair=con_pair,
@@ -225,6 +244,53 @@ def make_constraint(m: M.Model, d: M.Data) -> M.Data:
         efc_pos = efc_pos.at[rows].set(dist)
         efc_margin = efc_margin.at[rows].set(margin)
 
+    # ---------------- ball-joint limits (dense rows) ----------------
+    # mj_instantiateLimit, mjJNT_BALL branch: limit on the total rotation
+    # angle; dist = max(range) - |angle|, jacobian = -axis over the 3 dofs.
+    n_ball = int(layout.limit_ball_jnt.size)
+    ball_J = jnp.zeros((n_ball, nv), dtype)
+    if n_ball:
+        from brax_tracking_tpu import math as btm
+
+        jids = layout.limit_ball_jnt
+        qadr = np.asarray(m.jnt_qposadr)[jids]
+        dadr = np.asarray(m.jnt_dofadr)[jids]
+        quat = jnp.stack([d.qpos[a : a + 4] for a in qadr])  # (n_ball, 4)
+        aa = jax.vmap(btm.quat_to_axis_angle)(quat)  # rotation vectors
+        angle = jnp.linalg.norm(aa, axis=-1)
+        axis = aa / jnp.maximum(angle, M.MINVAL)[:, None]
+        axis = jnp.where(
+            (angle > M.MINVAL)[:, None],
+            axis,
+            jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], dtype), axis.shape),
+        )
+        amax = np.maximum(
+            np.asarray(m.jnt_range)[jids, 0], np.asarray(m.jnt_range)[jids, 1]
+        )
+        dist = jnp.asarray(amax, dtype) - angle
+        margin = m.jnt_margin[jids].astype(dtype)
+        k, b, imp = _kbi(
+            m,
+            m.jnt_solref[jids].astype(dtype),
+            m.jnt_solimp[jids].astype(dtype),
+            dist - margin,
+            dtype,
+        )
+        qvel3 = jnp.stack([d.qvel[a : a + 3] for a in dadr])  # (n_ball, 3)
+        jvel = jnp.sum(-axis * qvel3, axis=-1)
+        aref = -b * jvel - k * imp * (dist - margin)
+        invweight = m.dof_invweight0[dadr].astype(dtype)
+        r = jnp.maximum((1 - imp) / imp * invweight, M.MINVAL)
+        rows = layout.limit_ball_rows
+        for i, a in enumerate(dadr):
+            ball_J = jax.lax.dynamic_update_slice(
+                ball_J, -axis[i][None, :], (i, int(a))
+            )
+        efc_D = efc_D.at[rows].set(1.0 / r)
+        efc_aref = efc_aref.at[rows].set(aref)
+        efc_pos = efc_pos.at[rows].set(dist)
+        efc_margin = efc_margin.at[rows].set(margin)
+
     # ---------------- contacts ----------------
     ncon = m.ncon
     if ncon:
@@ -292,7 +358,8 @@ def make_constraint(m: M.Model, d: M.Data) -> M.Data:
         invw = jnp.where(is_pyr, invw_pyr, invw_ell)
         r_reg = jnp.maximum((1 - imp[slot]) / imp[slot] * invw, M.MINVAL)
 
-        efc_Jc = jrow  # contact rows are the trailing block; store dense
+        # dense block = [ball-limit rows; contact rows]
+        efc_Jc = jnp.concatenate([ball_J, jrow], axis=0) if n_ball else jrow
         efc_D = jax.lax.dynamic_update_slice(efc_D, 1.0 / r_reg, (row0,))
         efc_aref = jax.lax.dynamic_update_slice(efc_aref, aref, (row0,))
         efc_pos = jax.lax.dynamic_update_slice(efc_pos, dist[slot], (row0,))
@@ -301,7 +368,7 @@ def make_constraint(m: M.Model, d: M.Data) -> M.Data:
         )
 
     if not ncon:
-        efc_Jc = jnp.zeros((0, nv), dtype)
+        efc_Jc = ball_J  # (n_ball, nv); empty when no ball limits either
     return d.replace(
         efc_Jc=efc_Jc,
         efc_jsign=efc_jsign,

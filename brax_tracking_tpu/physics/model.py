@@ -215,6 +215,8 @@ class Model:
     actuator_forcerange: jax.Array = None
     actuator_actrange: jax.Array = None
     actuator_gear: jax.Array = None  # (nu, 6)
+    actuator_lengthrange: jax.Array = None  # (nu, 2) muscle operating range
+    actuator_acc0: jax.Array = None  # (nu,) norm of unit-force qacc (muscle)
     pairs: ContactPairs = None
 
     @property

@@ -532,6 +532,8 @@ def model_from_mj(m: mujoco.MjModel, dtype=jnp.float32) -> M.Model:
         actuator_forcerange=j(m.actuator_forcerange),
         actuator_actrange=j(m.actuator_actrange),
         actuator_gear=j(m.actuator_gear),
+        actuator_lengthrange=j(m.actuator_lengthrange),
+        actuator_acc0=j(m.actuator_acc0),
         pairs=_build_pairs(m, dtype),
     )
 

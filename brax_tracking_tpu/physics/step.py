@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from brax_tracking_tpu.physics import model as M
 from brax_tracking_tpu.physics import kinematics as K
@@ -143,6 +144,25 @@ def step(m: M.Model, d: M.Data) -> M.Data:
         qvel_new = d.qvel + dt * d.qacc
 
     qpos_new = _integrate_pos(m, d.qpos, qvel_new, dt)
-    # act integration (filter dynamics)
-    act_new = d.act + dt * d.act_dot if m.na else d.act
+    # act integration: Euler for filter/integrator/muscle, exact
+    # discretization for filterexact, then actrange clamping (mj_advance /
+    # mj_nextActivation semantics).
+    if m.na:
+        act_new = d.act + dt * d.act_dot
+        exact = np.nonzero(
+            np.asarray(m.actuator_dyntype) == M.DYN_FILTEREXACT
+        )[0]
+        for u in exact:
+            aadr = int(m.actuator_actadr[u]) + int(m.actuator_actnum[u]) - 1
+            tau = jnp.maximum(
+                m.actuator_dynprm[u, 0].astype(d.qpos.dtype), M.MINVAL
+            )
+            act_new = act_new.at[aadr].set(
+                d.act[aadr] + d.act_dot[aadr] * tau * (1.0 - jnp.exp(-dt / tau))
+            )
+        from brax_tracking_tpu.physics import actuation as Act
+
+        act_new = Act.clamp_act(m, act_new)
+    else:
+        act_new = d.act
     return d.replace(qpos=qpos_new, qvel=qvel_new, act=act_new, time=d.time + dt)
