@@ -198,6 +198,41 @@ def _eval_callback(cfg: Dict, env, logger, model_path: str, fig_dir: str = ""):
     return policy_params_fn
 
 
+def build_env_from_cfg(cfg: Dict):
+    """Compile the model, build/load the reference clip, construct the env —
+    the shared prologue of training (main) and offline replay (examples/
+    policy_replay.py)."""
+    import jax.numpy as jnp
+
+    from brax_tracking_tpu.envs import registry
+    from brax_tracking_tpu.physics import spec as bspec
+
+    ds, tr = cfg["dataset"], cfg["train"]
+    env_args = dict(ds["env_args"])
+
+    # offline model compile for the clip builder (same transforms as the env)
+    model = bspec.build_model(
+        env_args["mjcf_path"],
+        free_jnt=env_args.get("free_jnt", True),
+        torque_actuators=env_args.get("torque_actuators", False),
+        scale_factor=env_args.get("scale_factor", 1.0),
+        rescale_root=env_args.get("center_of_mass", "torso"),
+        solver=env_args.get("solver", "cg"),
+        iterations=env_args.get("iterations", 4),
+        ls_iterations=env_args.get("ls_iterations", 4),
+        dtype=jnp.float32,
+    )
+    clip = _build_clip(cfg, model)
+
+    return registry.get_environment(
+        tr["env_name"],
+        reference_clip=clip,
+        mocap_hz=ds.get("mocap_hz", 50),
+        ref_len=ds.get("ref_traj_length", 5),
+        **env_args,
+    )
+
+
 def main(argv=None) -> Dict:
     logging.basicConfig(level=logging.INFO)
     argv = sys.argv[1:] if argv is None else argv
@@ -236,35 +271,9 @@ def main(argv=None) -> Dict:
 
     from brax_tracking_tpu.agents.ppo import train as ppo_train
     from brax_tracking_tpu.agents.ppo import networks as ppo_networks
-    from brax_tracking_tpu.envs import registry
-    from brax_tracking_tpu.physics import spec as bspec
-
-    import jax.numpy as jnp
 
     ds, tr = cfg["dataset"], cfg["train"]
-    env_args = dict(ds["env_args"])
-
-    # offline model compile for the clip builder (same transforms as the env)
-    model = bspec.build_model(
-        env_args["mjcf_path"],
-        free_jnt=env_args.get("free_jnt", True),
-        torque_actuators=env_args.get("torque_actuators", False),
-        scale_factor=env_args.get("scale_factor", 1.0),
-        rescale_root=env_args.get("center_of_mass", "torso"),
-        solver=env_args.get("solver", "cg"),
-        iterations=env_args.get("iterations", 4),
-        ls_iterations=env_args.get("ls_iterations", 4),
-        dtype=jnp.float32,
-    )
-    clip = _build_clip(cfg, model)
-
-    env = registry.get_environment(
-        tr["env_name"],
-        reference_clip=clip,
-        mocap_hz=ds.get("mocap_hz", 50),
-        ref_len=ds.get("ref_traj_length", 5),
-        **env_args,
-    )
+    env = build_env_from_cfg(cfg)
     # the reference derives episode_length from the clip, overriding the
     # config value (main.py:84-87); force_episode_length opts out (smoke runs)
     if tr.get("force_episode_length"):

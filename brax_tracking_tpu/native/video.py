@@ -84,8 +84,75 @@ def write_mjpeg_avi(path: str, frames: Iterable[np.ndarray], fps: float = 50.0,
     return path
 
 
+def write_gif(path: str, frames: Iterable[np.ndarray], fps: float = 50.0) -> str:
+    """First-party GIF89a writer — the no-dependency fallback (no ffmpeg, no
+    Pillow). Colors quantize to the 6x6x6 web cube; pixel data is encoded as
+    literal LZW codes with periodic clear codes (the classic "uncompressed
+    GIF" scheme), so packing is one vectorized np.packbits per frame."""
+    frames = list(frames)
+    if not frames:
+        raise ValueError("no frames")
+    h, w = frames[0].shape[:2]
+
+    # global palette: 6-level cube (216 colors) padded to 256
+    levels = np.array([0, 51, 102, 153, 204, 255], np.uint8)
+    pal = np.zeros((256, 3), np.uint8)
+    grid = np.stack(
+        np.meshgrid(levels, levels, levels, indexing="ij"), -1
+    ).reshape(-1, 3)
+    pal[: grid.shape[0]] = grid
+
+    def lzw_literal(idx: np.ndarray) -> bytes:
+        """9-bit literal codes + clear every 254 symbols keeps the decoder's
+        table below 512 entries so the code width never grows."""
+        CLEAR, EOI = 256, 257
+        flat = idx.reshape(-1).astype(np.uint16)
+        n = flat.size
+        step = 254
+        nblk = (n + step - 1) // step
+        codes = np.full(n + nblk + 1, CLEAR, np.uint16)
+        pos = np.arange(n)
+        codes[pos + 1 + pos // step] = flat  # leading CLEAR per block
+        codes[-1] = EOI
+        bits = (codes[:, None] >> np.arange(9)) & 1
+        return np.packbits(
+            bits.astype(np.uint8).reshape(-1), bitorder="little"
+        ).tobytes()
+
+    def subblocks(data: bytes) -> bytes:
+        out = b""
+        for i in range(0, len(data), 255):
+            blk = data[i : i + 255]
+            out += bytes([len(blk)]) + blk
+        return out + b"\x00"
+
+    delay = max(1, int(round(100.0 / fps)))  # GIF delay is in 1/100 s
+    parts = [
+        b"GIF89a",
+        struct.pack("<HHBBB", w, h, 0xF7, 0, 0),  # 256-color global table
+        pal.tobytes(),
+        b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00",  # loop forever
+    ]
+    for f in frames:
+        f = np.ascontiguousarray(f[..., :3])
+        q = (f.astype(np.uint16) + 25) // 51  # round to nearest level
+        idx = (q[..., 0] * 36 + q[..., 1] * 6 + q[..., 2]).astype(np.uint8)
+        # graphic control extension: intro, label, size, flags, delay,
+        # transparent index, terminator
+        parts.append(
+            bytes([0x21, 0xF9, 4, 0]) + struct.pack("<H", delay) + b"\x00\x00"
+        )
+        parts.append(struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0))
+        parts.append(b"\x08" + subblocks(lzw_literal(idx)))  # min code size 8
+    parts.append(b"\x3b")
+    with open(path, "wb") as fh:
+        fh.write(b"".join(parts))
+    return path
+
+
 def save_video(path: str, frames: Iterable[np.ndarray], fps: float = 50.0) -> str:
-    """MP4 via imageio/ffmpeg when present, else MJPEG AVI (swaps extension)."""
+    """MP4 via imageio/ffmpeg when present, else MJPEG AVI (Pillow JPEG),
+    else first-party GIF — the harness always produces a playable artifact."""
     frames = list(frames)
     if path.endswith(".mp4"):
         try:
@@ -99,4 +166,7 @@ def save_video(path: str, frames: Iterable[np.ndarray], fps: float = 50.0) -> st
             path = path[:-4] + ".avi"
     if not path.endswith(".avi"):
         path += ".avi"
-    return write_mjpeg_avi(path, frames, fps=fps)
+    try:
+        return write_mjpeg_avi(path, frames, fps=fps)
+    except ImportError:
+        return write_gif(path[:-4] + ".gif", frames, fps=fps)

@@ -102,8 +102,23 @@ def _cg_kernel(
     qvel_new_ref,
     scratch_ref,
 ):
+    _cg_core(
+        nv, nefc, iters, ls_iters, tol, minval, dt, has_damping, ell0, nell,
+        qM_ref[:], J_ref, D_ref, aref_ref, exists_ref, mu_ref, sc1_ref,
+        sc2_ref, econ_ref, qfrc_smooth_ref, qvel_ref, damp_ref, x_ref,
+        force_ref, qfrc_ref, a0_ref, qvel_new_ref, scratch_ref,
+    )
+
+
+def _cg_core(
+    nv, nefc, iters, ls_iters, tol, minval, dt, has_damping, ell0, nell,
+    qM,  # (Vp, Vp, L) loaded values (input tile or in-kernel-assembled)
+    J_ref,  # (Rp, Vp, L) ref — input tile or scratch, read chunk-by-chunk
+    D_ref, aref_ref, exists_ref, mu_ref, sc1_ref, sc2_ref, econ_ref,
+    qfrc_smooth_ref, qvel_ref, damp_ref,
+    x_ref, force_ref, qfrc_ref, a0_ref, qvel_new_ref, scratch_ref,
+):
     f32 = jnp.float32
-    qM = qM_ref[:]  # (Vp, Vp, L)
     D = D_ref[:]  # (Rp, L)
     aref = aref_ref[:]
     # exists is pre-masked by the wrapper to quad rows only (0 on ell rows)
@@ -575,6 +590,329 @@ def cg_solve_batched(
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=int(120e6)),
     )(qMt, Jt, Dt, areft, existst, mut, sc1t, sc2t, econt, fst, qvt, dampt)
+    force = jnp.transpose(force_t, (1, 0))[:B, :nefc]
+    if nell:
+        force = force[:, inv_perm]
+    return (
+        jnp.transpose(x_t, (1, 0))[:B, :nv],
+        force,
+        jnp.transpose(qfrc_t, (1, 0))[:B, :nv],
+        jnp.transpose(a0_t, (1, 0))[:B, :nv],
+        jnp.transpose(qvn_t, (1, 0))[:B, :nv],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fused variant: qM and J are ASSEMBLED IN VMEM from their low-rank factors
+# instead of being read as (nv,nv,B)/(nefc,nv,B) tiles from HBM.
+#
+# qM[i,j] = masksym_ij( sum_c f[c,i] cdof[c,j] ) + diag(armature): the
+# ancestor mask is built from iota compares using the DFS property that
+# dof j's subtree is the contiguous index range [j, j+sz_j).
+# J contact rows r = md[slot(r), :] * sum_{root,c} Bm[root,c,r] G[root,c,:]
+# with G[root,c] = cdof[c] masked to the root's contiguous dof range and
+# Bm = P @ A (P = static pyramid/elliptic row-combination coefficients,
+# A = per-contact [off x F | F] operator). Scalar limit rows are one-hot
+# jsign writes. This removes the dominant HBM traffic of the batched step:
+# the XLA-side (B,nv,nv)/(B,nefc,nv) einsums and their lane-layout
+# transposes are dead-code-eliminated once nothing consumes them.
+# ---------------------------------------------------------------------------
+
+
+def _assemble_qM_J(
+    nv, nroots, root_bounds, md_groups, limit_writes,
+    ft_ref, ct_ref, Bm_ref, jsign_ref, mdT_ref, szv_ref, arm_ref,
+    J_scr, qM_scr,
+):
+    f32 = jnp.float32
+    ftv = ft_ref[:]  # (6, Vp, L)
+    ctv = ct_ref[:]
+    _, Vp, L = ftv.shape
+    Rp = J_scr.shape[0]
+    szv = szv_ref[:]  # (Vp, L) int32 dof-subtree sizes (0 at padded dofs)
+    armv = arm_ref[:]  # (Vp, L) f32 armature (1.0 at padded diag)
+
+    # ---- qM rows, chunked ----
+    VB = _chunk_rows(Vp, Vp, L, budget=3_000_000)
+    for off in range(0, Vp, VB):
+        n = min(VB, Vp - off)
+        acc = None
+        accT = None
+        for c in range(6):
+            fr = jax.lax.slice_in_dim(ftv[c], off, off + n, axis=0)  # (n, L)
+            cr = jax.lax.slice_in_dim(ctv[c], off, off + n, axis=0)
+            t1 = fr[:, None, :] * ctv[c][None, :, :]  # (n, Vp, L)
+            t2 = cr[:, None, :] * ftv[c][None, :, :]
+            acc = t1 if acc is None else acc + t1
+            accT = t2 if accT is None else accT + t2
+        shape3 = (n, Vp, L)
+        i3 = off + jax.lax.broadcasted_iota(jnp.int32, shape3, 0)
+        j3 = jax.lax.broadcasted_iota(jnp.int32, shape3, 1)
+        szj = jnp.broadcast_to(szv[None, :, :], shape3)
+        szi = jnp.broadcast_to(
+            jax.lax.slice_in_dim(szv, off, off + n, axis=0)[:, None, :], shape3
+        )
+        armi = jnp.broadcast_to(
+            jax.lax.slice_in_dim(armv, off, off + n, axis=0)[:, None, :], shape3
+        )
+        # j ancestor-or-self of i  <=>  i in subtree(j) = [j, j+sz_j)
+        m1 = jnp.logical_and(i3 >= j3, i3 < j3 + szj)
+        m2 = jnp.logical_and(j3 > i3, j3 < i3 + szi)  # strict: diag in m1
+        qm = (
+            jnp.where(m1, acc, 0.0)
+            + jnp.where(m2, accT, 0.0)
+            + jnp.where(i3 == j3, armi, 0.0)
+        )
+        qM_scr[pl.ds(off, n)] = qm
+
+    # ---- J contact rows: rank-(6*nroots) bulk build ----
+    viota = jax.lax.broadcasted_iota(jnp.int32, (Vp, L), 0)
+    Gs = []
+    for lo, hi in root_bounds:
+        if nroots == 1:
+            rm = None
+        else:
+            rm = jnp.logical_and(viota >= lo, viota < hi)
+        for c in range(6):
+            Gs.append(ctv[c] if rm is None else jnp.where(rm, ctv[c], 0.0))
+    Bmv = Bm_ref[:]  # (6*nroots, Rp, L)
+    RB = _chunk_rows(Rp, Vp, L, budget=3_000_000)
+    for off in range(0, Rp, RB):
+        n = min(RB, Rp - off)
+        acc = None
+        for k in range(6 * nroots):
+            b = jax.lax.slice_in_dim(Bmv[k], off, off + n, axis=0)  # (n, L)
+            t = b[:, None, :] * Gs[k][None, :, :]
+            acc = t if acc is None else acc + t
+        J_scr[pl.ds(off, n)] = acc
+
+    # ---- md sign/support masks, per contiguous run of same-slot rows ----
+    for row0, nrows, slot in md_groups:
+        mdc = jnp.broadcast_to(mdT_ref[:, pl.ds(slot, 1)], (Vp, L))
+        J_scr[pl.ds(row0, nrows)] = J_scr[pl.ds(row0, nrows)] * mdc[None, :, :]
+
+    # ---- scalar limit rows: one-hot jsign at static (row, dof) ----
+    if limit_writes:
+        jsv = jsign_ref[:]  # (NLp, L)
+        for r, dadr, i in limit_writes:
+            J_scr[pl.ds(r, 1), pl.ds(dadr, 1)] = jax.lax.slice_in_dim(
+                jsv, i, i + 1, axis=0
+            )[None]
+
+
+def _cg_fused_kernel(
+    nv, nefc, iters, ls_iters, tol, minval, dt, has_damping, ell0, nell,
+    nroots, root_bounds, md_groups, limit_writes,
+    ft_ref, ct_ref, Bm_ref, jsign_ref, mdT_ref, szv_ref, arm_ref,
+    D_ref, aref_ref, exists_ref, mu_ref, sc1_ref, sc2_ref, econ_ref,
+    qfrc_smooth_ref, qvel_ref, damp_ref,
+    x_ref, force_ref, qfrc_ref, a0_ref, qvel_new_ref,
+    J_scr, qM_scr, sweep_scr,
+):
+    _assemble_qM_J(
+        nv, nroots, root_bounds, md_groups, limit_writes,
+        ft_ref, ct_ref, Bm_ref, jsign_ref, mdT_ref, szv_ref, arm_ref,
+        J_scr, qM_scr,
+    )
+    _cg_core(
+        nv, nefc, iters, ls_iters, tol, minval, dt, has_damping, ell0, nell,
+        qM_scr[:], J_scr, D_ref, aref_ref, exists_ref, mu_ref, sc1_ref,
+        sc2_ref, econ_ref, qfrc_smooth_ref, qvel_ref, damp_ref, x_ref,
+        force_ref, qfrc_ref, a0_ref, qvel_new_ref, sweep_scr,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "iters", "ls_iters", "tol", "dt", "has_damping", "ell0", "ell_mu",
+        "ell_scale", "row_slot", "sz", "root_bounds", "limit_dadr",
+        "interpret",
+    ),
+)
+def cg_solve_fused(
+    f: jax.Array,  # (B, 6, nv) composite-inertia factor (crb_f)
+    cdof: jax.Array,  # (B, 6, nv)
+    A: jax.Array,  # (B, nroots, ncon, 3, 6) contact point operators
+    jsign: jax.Array,  # (B, nlim) scalar limit signs
+    D: jax.Array,  # (B, nefc)
+    aref: jax.Array,  # (B, nefc)
+    exists: jax.Array,  # (B, nefc) 0/1 — QUAD rows only
+    exists_con: jax.Array,  # (B, nell)
+    qfrc_smooth: jax.Array,  # (B, nv)
+    qvel: jax.Array,  # (B, nv)
+    damp: jax.Array,  # (nv,)
+    P: jax.Array,  # (nefc, ncon*3) static row-combination coefficients
+    md: jax.Array,  # (ncon, nv) static +-1/0 contact support masks
+    armature: jax.Array,  # (nv,)
+    iters: int,
+    ls_iters: int,
+    tol: float,
+    dt: float,
+    has_damping: bool,
+    row_slot: tuple,  # (nefc,) contact slot per row, -1 for limit rows
+    sz: tuple,  # (nv,) dof subtree sizes (DFS-contiguous)
+    root_bounds: tuple,  # ((lo, hi), ...) contiguous dof range per root
+    limit_dadr: tuple,  # (nlim,) dof address of each scalar limit row
+    ell0: int = 0,
+    ell_mu: tuple = (),
+    ell_scale: tuple = (),
+    interpret: bool = False,
+):
+    """cg_solve_batched with in-kernel qM/J assembly from low-rank factors.
+
+    Returns (qacc, efc_force, qfrc_constraint, qacc_smooth, qvel_new).
+    """
+    B, _, nv = f.shape
+    nefc = D.shape[1]
+    nlim = jsign.shape[1]
+    nroots = len(root_bounds)
+    ncon = md.shape[0]
+    nell = len(ell_mu)
+    Vp = _round_up(nv, _SUBLANE)
+    Rp = _round_up(nefc, _SUBLANE)
+    Bp = _round_up(B, LANE)
+    Cp = _round_up(max(nell, 1), _SUBLANE)
+    NLp = _round_up(max(nlim, 1), _SUBLANE)
+    MDp = _round_up(max(ncon, 1), LANE)
+    dtype = f.dtype
+
+    row_slot = np.asarray(row_slot, np.int32)
+    if nell:
+        head = np.arange(ell0)
+        blk = ell0 + 3 * np.arange(nell)
+        tail = np.arange(ell0 + 3 * nell, nefc)
+        perm = np.concatenate([head, blk, blk + 1, blk + 2, tail])
+        inv_perm = np.argsort(perm)
+        D = D[:, perm]
+        aref = aref[:, perm]
+        exists = exists[:, perm]
+        P = P[perm]
+        row_slot = row_slot[perm]
+
+    # contiguous same-slot row runs (md is applied per run)
+    md_groups = []
+    r = 0
+    while r < nefc:
+        s = int(row_slot[r])
+        if s < 0:
+            r += 1
+            continue
+        r0 = r
+        while r < nefc and int(row_slot[r]) == s:
+            r += 1
+        md_groups.append((r0, r - r0, s))
+    md_groups = tuple(md_groups)
+    limit_writes = tuple(
+        (i, int(limit_dadr[i]), i) for i in range(nlim)
+    )
+
+    def pad(x, shape):
+        out = jnp.zeros(shape, dtype)
+        return out.at[tuple(slice(0, s) for s in x.shape)].set(x)
+
+    def bpad(x):
+        if Bp == B:
+            return x
+        return jnp.concatenate(
+            [x, jnp.tile(x[-1:], (Bp - B,) + (1,) * (x.ndim - 1))], 0
+        )
+
+    # low-rank J factor: Bm[b, root*6+c, r] = sum_k P[r, k] A[b, root, k, c]
+    Ar = A.reshape(B, nroots, ncon * 3, 6) if ncon else jnp.zeros(
+        (B, nroots, 0, 6), dtype
+    )
+    Bm = jnp.einsum("rk,bnkc->bncr", P, Ar).reshape(B, nroots * 6, nefc)
+
+    ft = jnp.transpose(bpad(pad(f, (B, 6, Vp))), (1, 2, 0))
+    ct = jnp.transpose(bpad(pad(cdof, (B, 6, Vp))), (1, 2, 0))
+    Bmt = jnp.transpose(bpad(pad(Bm, (B, nroots * 6, Rp))), (1, 2, 0))
+    jst = jnp.transpose(bpad(pad(jsign, (B, NLp))), (1, 0))
+    Dt = jnp.transpose(bpad(pad(D, (B, Rp))), (1, 0))
+    areft = jnp.transpose(bpad(pad(aref, (B, Rp))), (1, 0))
+    existst = jnp.transpose(bpad(pad(exists.astype(dtype), (B, Rp))), (1, 0))
+    econt = jnp.transpose(
+        bpad(pad(exists_con.astype(dtype), (B, Cp))), (1, 0)
+    )
+    fst = jnp.transpose(bpad(pad(qfrc_smooth, (B, Vp))), (1, 0))
+    qvt = jnp.transpose(bpad(pad(qvel, (B, Vp))), (1, 0))
+
+    dampp = jnp.zeros((Vp,), dtype).at[:nv].set(damp.astype(dtype))
+    dampt = jnp.broadcast_to(dampp[:, None], (Vp, LANE))
+    mdT = pad(md.T.astype(dtype), (Vp, MDp))
+    szp = jnp.zeros((Vp,), jnp.int32).at[:nv].set(jnp.asarray(sz, jnp.int32))
+    szt = jnp.broadcast_to(szp[:, None], (Vp, LANE))
+    armp = jnp.ones((Vp,), dtype).at[:nv].set(armature.astype(dtype))
+    armt = jnp.broadcast_to(armp[:, None], (Vp, LANE))
+
+    mu_np = np.zeros(Cp)
+    sc_np = np.zeros((Cp, 2))
+    if nell:
+        mu_np[:nell] = np.asarray(ell_mu)
+        sc_np[:nell] = np.asarray(ell_scale)
+    mut = jnp.broadcast_to(jnp.asarray(mu_np, dtype)[:, None], (Cp, LANE))
+    sc1t = jnp.broadcast_to(jnp.asarray(sc_np[:, 0], dtype)[:, None], (Cp, LANE))
+    sc2t = jnp.broadcast_to(jnp.asarray(sc_np[:, 1], dtype)[:, None], (Cp, LANE))
+
+    grid = (Bp // LANE,)
+
+    def lane3(d0, d1):
+        return pl.BlockSpec((d0, d1, LANE), lambda i: (0, 0, i),
+                            memory_space=pltpu.VMEM)
+
+    def lane2(d0):
+        return pl.BlockSpec((d0, LANE), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+
+    def shared2(d0, d1):
+        return pl.BlockSpec((d0, d1), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    x_t, force_t, qfrc_t, a0_t, qvn_t = pl.pallas_call(
+        functools.partial(
+            _cg_fused_kernel, nv, nefc, iters, ls_iters, tol, 1e-15, dt,
+            has_damping, ell0, nell, nroots, tuple(root_bounds), md_groups,
+            limit_writes,
+        ),
+        grid=grid,
+        in_specs=[
+            lane3(6, Vp),  # ft
+            lane3(6, Vp),  # ct
+            lane3(nroots * 6, Rp),  # Bm
+            lane2(NLp),  # jsign
+            shared2(Vp, MDp),  # mdT
+            shared2(Vp, LANE),  # szv
+            shared2(Vp, LANE),  # arm
+            lane2(Rp),  # D
+            lane2(Rp),  # aref
+            lane2(Rp),  # exists
+            shared2(Cp, LANE),  # mu
+            shared2(Cp, LANE),  # sc1
+            shared2(Cp, LANE),  # sc2
+            lane2(Cp),  # econ
+            lane2(Vp),  # qfrc_smooth
+            lane2(Vp),  # qvel
+            shared2(Vp, LANE),  # damp
+        ],
+        out_specs=[lane2(Vp), lane2(Rp), lane2(Vp), lane2(Vp), lane2(Vp)],
+        out_shape=[
+            jax.ShapeDtypeStruct((Vp, Bp), dtype),
+            jax.ShapeDtypeStruct((Rp, Bp), dtype),
+            jax.ShapeDtypeStruct((Vp, Bp), dtype),
+            jax.ShapeDtypeStruct((Vp, Bp), dtype),
+            jax.ShapeDtypeStruct((Vp, Bp), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Rp, Vp, LANE), dtype),  # J
+            pltpu.VMEM((Vp, Vp, LANE), dtype),  # qM
+            pltpu.VMEM((Vp, Vp, LANE), dtype),  # sweep
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=int(120e6)),
+    )(
+        ft, ct, Bmt, jst, mdT, szt, armt, Dt, areft, existst, mut, sc1t,
+        sc2t, econt, fst, qvt, dampt,
+    )
     force = jnp.transpose(force_t, (1, 0))[:B, :nefc]
     if nell:
         force = force[:, inv_perm]

@@ -180,15 +180,17 @@ def _contact_jac(m: M.Model, d: M.Data, layout: EfcLayout):
     dof_root = np.asarray(m.body_rootid)[np.asarray(m.dof_bodyid)]
     roots = np.unique(dof_root)
     J = None
+    A_stack = []
     for r in roots:
         off = p - d.subtree_com[int(r)]  # (ncon, 3)
         ofx = jnp.cross(jnp.broadcast_to(off[:, None, :], F.shape), F, axis=-1)
         A = jnp.concatenate([ofx, F], axis=-1)  # (ncon, 3, 6)
+        A_stack.append(A)
         Jr = jnp.einsum("cnk,kv->cnv", A, d.cdof)
         if len(roots) > 1:
             Jr = Jr * jnp.asarray(dof_root == r, dtype)[None, None, :]
         J = Jr if J is None else J + Jr
-    return J * md[:, None, :]
+    return J * md[:, None, :], jnp.stack(A_stack)
 
 
 def make_constraint(m: M.Model, d: M.Data) -> M.Data:
@@ -296,7 +298,8 @@ def make_constraint(m: M.Model, d: M.Data) -> M.Data:
     if ncon:
         pairs = m.pairs
         cp = layout.con_pair
-        jac = _contact_jac(m, d, layout)  # (ncon, 3, nv) rows: n, t1, t2
+        jac, con_A = _contact_jac(m, d, layout)  # (ncon,3,nv) rows: n,t1,t2
+        d = d.replace(con_A=con_A)
         friction = pairs.friction[cp].astype(dtype)  # (ncon, 5)
         solref = pairs.solref[cp].astype(dtype)
         solimp = pairs.solimp[cp].astype(dtype)

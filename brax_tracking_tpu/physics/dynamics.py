@@ -44,7 +44,10 @@ def crb(m: M.Model, d: M.Data) -> M.Data:
     lower = jnp.where(mask, full, 0.0)
     qM = lower + lower.T - jnp.diag(jnp.diag(lower))
     qM = qM + jnp.diag(m.dof_armature.astype(dtype))
-    return d.replace(qM=qM)
+    # f is kept as the low-rank qM factor (qM = mask-sym of f^T cdof): the
+    # batched megakernel rebuilds qM from (f, cdof) in VMEM and the dense
+    # qM above is dead-code-eliminated on that path.
+    return d.replace(qM=qM, crb_f=f)
 
 
 def factor_m(m: M.Model, d: M.Data) -> M.Data:

@@ -262,6 +262,7 @@ class Data:
     cvel: jax.Array = None  # (6, nbody)
     cdof_dot: jax.Array = None  # (6, nv)
     # dynamics products
+    crb_f: jax.Array = None  # (6, nv) composite-inertia * cdof (qM factor)
     qM: jax.Array = None  # (nv, nv) dense
     qLD: jax.Array = None  # (nv, nv) cholesky factor of qM
     qMinv: jax.Array = None  # (nv, nv) inverse of qM (XLA solver path)
@@ -278,6 +279,11 @@ class Data:
     contact_dist: jax.Array = None  # (ncon,)
     contact_pos: jax.Array = None  # (ncon, 3)
     contact_frame: jax.Array = None  # (ncon, 3, 3) rows: normal, tan1, tan2
+    # low-rank contact-jacobian factor: J_con rows = P @ (con_A[r] @ cdof)
+    # summed over kinematic roots r with static dof masks (constraint.
+    # _contact_jac); lets the megakernel assemble J in VMEM from (6,nv)
+    # factors instead of reading a transposed (nefc, nv, B) array from HBM
+    con_A: jax.Array = None  # (nroots, ncon, 3, 6)
     # constraint rows (static layout; see constraint.efc_layout)
     # Constraint jacobian, split by structure: limit rows are one-hot
     # (a runtime sign at a static dof), so only the contact block is dense.

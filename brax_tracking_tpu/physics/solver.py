@@ -298,6 +298,14 @@ def quad_kernel_eligible(m: M.Model) -> bool:
             return False
     elif meta.quad_rows.size != layout.nefc:
         return False
+    # in-kernel J assembly covers one-hot scalar limit rows plus contact
+    # rows built from the 3 translational jacobian rows per slot
+    if layout.limit_ball_jnt.size:
+        return False
+    if m.ncon and int(np.max(layout.con_dim)) > 3:
+        return False
+    if _fused_statics(m, layout) is None:
+        return False
     # VMEM budget: resident tiles are J (Rp,Vp,128), qM + sweep scratch +
     # the M^-1 copy (3x Vp,Vp,128); the J/qM product temporaries are
     # row-chunked to ~6 MB each (ops/cg._chunk_rows), so they no longer
@@ -306,6 +314,67 @@ def quad_kernel_eligible(m: M.Model) -> bool:
     vp = (m.nv + 7) // 8 * 8
     vmem = (rp * vp + 3 * vp * vp) * 128 * 4 + int(12e6)
     return vmem < int(100e6)
+
+
+def _fused_statics(m: M.Model, layout: Cn.EfcLayout):
+    """Static metadata for in-kernel qM/J assembly (ops/cg.cg_solve_fused).
+
+    Returns None when the model violates the layout assumptions the kernel
+    relies on (DFS-contiguous dof subtrees / root dof ranges) — MuJoCo's
+    compiler always produces them, so this is a safety net, not a real
+    restriction.
+    """
+    mask = np.asarray(m.dof_ancestor_mask)  # [i, j] = j anc-or-self of i
+    nv = m.nv
+    sz = mask.sum(axis=0).astype(int)  # subtree size per dof j
+    for j in range(nv):
+        expect = np.zeros(nv, bool)
+        expect[j : j + sz[j]] = True
+        if not np.array_equal(mask[:, j], expect):
+            return None
+    dof_root = np.asarray(m.body_rootid)[np.asarray(m.dof_bodyid)]
+    roots = np.unique(dof_root)
+    bounds = []
+    for r in roots:
+        idx = np.nonzero(dof_root == r)[0]
+        if idx.size and not np.array_equal(idx, np.arange(idx[0], idx[-1] + 1)):
+            return None
+        bounds.append((int(idx[0]), int(idx[-1] + 1)))
+
+    # static row-combination coefficients: J_con = (P @ A) @ cdof * md
+    ncon = m.ncon
+    P = np.zeros((layout.nefc, ncon * 3))
+    friction = np.asarray(m.pairs.friction) if ncon else np.zeros((0, 5))
+    for r in range(layout.nefc):
+        slot = int(layout.row_con[r])
+        if slot < 0:
+            continue
+        t = int(layout.row_type[r])
+        k = int(layout.row_fdim[r])
+        pf = friction[int(layout.con_pair[slot])]
+        if t == Cn.ROW_CON_PYRAMID:
+            i_pyr = k // 2
+            sgn = 1.0 - 2.0 * (k % 2)
+            P[r, slot * 3] = 1.0
+            P[r, slot * 3 + i_pyr + 1] = sgn * pf[i_pyr]
+        else:  # normal / elliptic friction row: direct selection
+            P[r, slot * 3 + k] = 1.0
+
+    if ncon:
+        b1 = np.asarray(m.geom_bodyid)[layout.con_geom1]
+        b2 = np.asarray(m.geom_bodyid)[layout.con_geom2]
+        bdm = np.asarray(m.body_dof_mask)
+        md = bdm[b2].astype(np.float64) - bdm[b1].astype(np.float64)
+    else:
+        md = np.zeros((0, nv))
+    return dict(
+        P=P,
+        md=md,
+        row_slot=tuple(int(s) for s in layout.row_con),
+        sz=tuple(int(s) for s in sz),
+        root_bounds=tuple(bounds),
+        limit_dadr=tuple(int(a) for a in Cn.limit_dofs(m)),
+    )
 
 
 def _solve_quad(m: M.Model, d: M.Data, layout: Cn.EfcLayout) -> M.Data:
@@ -357,9 +426,18 @@ def _solve_quad(m: M.Model, d: M.Data, layout: Cn.EfcLayout) -> M.Data:
         has_damping=has_damping, quad_mask=quad_mask, ell0=ell0,
         ell_mu=ell_mu, ell_scale=ell_scale,
     )
+    fstat = _fused_statics(m, layout)
+    armature = m.dof_armature
+    ncon = m.ncon
 
+    # f / cdof / con_A are the low-rank qM and J factors: the batched TPU
+    # rule assembles qM and J from them INSIDE the megakernel, and the
+    # XLA-side dense qM / efc_Jc producers become dead code on that path.
+    # The primal (unbatched / CPU) uses qM / Jc directly, so its numerics
+    # are bit-identical to the pre-fusion implementation.
     @jax.custom_batching.custom_vmap
-    def cg(qM, Jc, jsign, D, aref, exists, e_con, qfrc_smooth, qvel):
+    def cg(qM, Jc, jsign, D, aref, exists, e_con, qfrc_smooth, qvel,
+           f, cdof, con_A):
         return _cg_arrays(
             qM, Jc, jsign, D, aref, exists, e_con, qfrc_smooth, qvel, **statics
         )
@@ -367,27 +445,32 @@ def _solve_quad(m: M.Model, d: M.Data, layout: Cn.EfcLayout) -> M.Data:
     @cg.def_vmap
     def _cg_vmap(
         axis_size, in_batched, qM, Jc, jsign, D, aref, exists, e_con,
-        qfrc_smooth, qvel
+        qfrc_smooth, qvel, f, cdof, con_A
     ):
         from brax_tracking_tpu.ops import cholesky as ops_chol
 
         if all(
             b for b, a in zip(in_batched, (qM, Jc, jsign, D, aref, exists,
-                                           e_con, qfrc_smooth, qvel))
+                                           e_con, qfrc_smooth, qvel,
+                                           f, cdof, con_A))
             if a.size
         ) and ops_chol._use_pallas(qM):
             from brax_tracking_tpu.ops import cg as ops_cg
 
-            J = Jc
-            if nlim:
-                Jlim = jsign[..., None] * jnp.asarray(L1, qM.dtype)[None]
-                J = jnp.concatenate([Jlim, Jc], axis=1)
             exists_q = exists & (jnp.asarray(quad_mask) > 0.5)[None]
-            out = ops_cg.cg_solve_batched(
-                qM, J, D, aref, exists_q, e_con, qfrc_smooth, qvel,
+            out = ops_cg.cg_solve_fused(
+                f, cdof, con_A,
+                jsign if nlim else jnp.zeros((axis_size, 0), qM.dtype),
+                D, aref, exists_q, e_con, qfrc_smooth, qvel,
                 jnp.asarray(damp, qM.dtype),
+                jnp.asarray(fstat["P"], qM.dtype),
+                jnp.asarray(fstat["md"], qM.dtype),
+                armature.astype(qM.dtype),
                 iters=iters, ls_iters=ls_iters, tol=tol, dt=dt,
                 has_damping=has_damping,
+                row_slot=fstat["row_slot"], sz=fstat["sz"],
+                root_bounds=fstat["root_bounds"],
+                limit_dadr=fstat["limit_dadr"],
                 ell0=ell0, ell_mu=tuple(ell_mu.tolist()),
                 ell_scale=tuple(map(tuple, ell_scale.tolist())),
             )
@@ -398,10 +481,17 @@ def _solve_quad(m: M.Model, d: M.Data, layout: Cn.EfcLayout) -> M.Data:
         # None), not mapped — mapping it raises "vmap got inconsistent sizes".
         in_axes = tuple(0 if b else None for b in in_batched)
         out = jax.vmap(
-            lambda *a: _cg_arrays(*a, **statics), in_axes=in_axes
-        )(qM, Jc, jsign, D, aref, exists, e_con, qfrc_smooth, qvel)
+            lambda qM, Jc, jsign, D, aref, exists, e_con, qfs, qv, *_:
+            _cg_arrays(qM, Jc, jsign, D, aref, exists, e_con, qfs, qv,
+                       **statics),
+            in_axes=in_axes,
+        )(qM, Jc, jsign, D, aref, exists, e_con, qfrc_smooth, qvel,
+          f, cdof, con_A)
         return out, (True,) * 5
 
+    con_A = d.con_A if d.con_A is not None else jnp.zeros(
+        (1, 0, 3, 6), d.qpos.dtype
+    )
     x, force, qfrc, a0, qvel_next = cg(
         d.qM,
         d.efc_Jc,
@@ -412,6 +502,9 @@ def _solve_quad(m: M.Model, d: M.Data, layout: Cn.EfcLayout) -> M.Data:
         exists_con,
         d.qfrc_smooth,
         d.qvel,
+        d.crb_f,
+        d.cdof,
+        con_A,
     )
     return d.replace(
         qacc=x,

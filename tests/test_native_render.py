@@ -96,3 +96,25 @@ def test_save_video_falls_back_without_ffmpeg(tmp_path):
     import os
 
     assert os.path.getsize(out) > 100
+
+
+def test_gif_fallback_roundtrip(tmp_path):
+    """First-party GIF89a writer: frames on the 6-level color cube decode
+    back exactly (palette hit), others within one quantization step."""
+    from brax_tracking_tpu.native.video import write_gif
+
+    frames = []
+    for t in range(4):
+        f = np.zeros((24, 40, 3), np.uint8)
+        f[:, :, 0] = 51 * t
+        f[5:15, 10:30, 1] = 204
+        frames.append(f)
+    path = write_gif(str(tmp_path / "clip.gif"), frames, fps=20)
+    from PIL import Image
+
+    im = Image.open(path)
+    assert im.format == "GIF" and im.n_frames == len(frames)
+    for t in range(im.n_frames):
+        im.seek(t)
+        dec = np.asarray(im.convert("RGB"))
+        assert np.array_equal(dec, frames[t])

@@ -1,0 +1,179 @@
+"""Fused megakernel (in-kernel qM/J assembly) vs the array path.
+
+cg_solve_fused rebuilds qM from (crb_f, cdof) with iota-built ancestor
+masks and J from (P @ con_A, cdof, md) inside the Pallas kernel; these
+tests prove the assembled operators produce the same solve results as the
+array path consuming the XLA-built dense qM / efc_Jc — on real models
+covering every assembly feature: one-hot scalar limit rows, pyramidal row
+combination (minirat/rodent), two kinematic roots with dof-range masking
+(rodent_pair), and the permuted elliptic block (fly).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import brax_tracking_tpu.physics.spec as bspec
+import brax_tracking_tpu.physics.step as bstep
+import brax_tracking_tpu.physics.constraint as Cn
+import brax_tracking_tpu.physics.solver as S
+from brax_tracking_tpu.ops import cg as ops_cg
+
+RODENT_PAIR = "/root/reference/assets/rodent_pair.xml"
+FLY = "/root/reference/assets/fruitfly/fruitfly_force_fast.xml"
+
+
+def _batched_forward(model, mj, B, seed, drop=0.01):
+    rng = np.random.RandomState(seed)
+    d0 = bstep.make_data(model)
+    dB = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), d0)
+    qpos = np.tile(np.asarray(mj.qpos0)[None], (B, 1))
+    free = np.nonzero(np.asarray(model.jnt_type) == 0)[0]
+    for j in free:  # push each free root into the floor for contacts
+        qadr = int(model.jnt_qposadr[j])
+        qpos[:, qadr + 2] -= drop
+    nroot_q = 7 if free.size else 0
+    qpos[:, nroot_q:] += rng.uniform(-0.05, 0.05, (B, mj.nq - nroot_q))
+    dB = dB.replace(
+        qpos=jnp.asarray(qpos),
+        qvel=jnp.asarray(rng.uniform(-0.5, 0.5, (B, mj.nv))),
+        ctrl=jnp.asarray(rng.uniform(-0.3, 0.3, (B, mj.nu))),
+    )
+    return jax.vmap(lambda dd: bstep.forward(model, dd))(dB)
+
+
+def _run_both(model, dF, iters=6, ls_iters=6):
+    """Returns (fused kernel out, vmapped array-path out)."""
+    layout = Cn.efc_layout(model)
+    fstat = S._fused_statics(model, layout)
+    assert fstat is not None
+    nv = model.nv
+    meta = S._cone_meta(model, layout)
+    tol = (
+        float(np.asarray(model.opt.tolerance))
+        * float(np.asarray(model.opt.meaninertia))
+        * max(1, nv)
+    )
+    dt = float(np.asarray(model.opt.timestep))
+    damp = np.asarray(model.dof_damping, np.float64) * dt
+    nell = int(meta.ell_con.size)
+    B = dF.qpos.shape[0]
+    if nell:
+        ell0 = int(meta.ell_rows.min())
+        ell_mu = np.asarray(model.pairs.friction, np.float64)[meta.ell_con, 0]
+        fr = np.asarray(model.pairs.friction, np.float64)[meta.ell_con, 1:3]
+        ell_scale = fr / ell_mu[:, None]
+        quad_mask = np.zeros(layout.nefc)
+        quad_mask[meta.quad_rows] = 1.0
+        cp = layout.con_pair[meta.ell_con]
+        inc = np.asarray(model.pairs.margin)[cp]
+        e_con = jnp.asarray(
+            np.asarray(dF.contact_dist)[:, meta.ell_con] < inc[None]
+        )
+    else:
+        ell0 = layout.nefc
+        ell_mu = np.zeros(0)
+        ell_scale = np.zeros((0, 2))
+        quad_mask = np.ones(layout.nefc)
+        e_con = jnp.zeros((B, 0), bool)
+
+    exists = jnp.asarray(np.asarray(dF.efc_pos < dF.efc_margin))
+    exists_q = exists & jnp.asarray(quad_mask > 0.5)[None]
+
+    kout = ops_cg.cg_solve_fused(
+        dF.crb_f, dF.cdof, dF.con_A, dF.efc_jsign, dF.efc_D, dF.efc_aref,
+        exists_q, e_con, dF.qfrc_smooth, dF.qvel,
+        jnp.asarray(damp), jnp.asarray(fstat["P"]), jnp.asarray(fstat["md"]),
+        model.dof_armature,
+        iters=iters, ls_iters=ls_iters, tol=tol, dt=dt,
+        has_damping=bool(model.has_damping),
+        row_slot=fstat["row_slot"], sz=fstat["sz"],
+        root_bounds=fstat["root_bounds"], limit_dadr=fstat["limit_dadr"],
+        ell0=ell0, ell_mu=tuple(ell_mu.tolist()),
+        ell_scale=tuple(map(tuple, ell_scale.tolist())),
+        interpret=True,
+    )
+
+    L1 = np.eye(nv)[Cn.limit_dofs(model)]
+    statics = dict(
+        L1=L1, iters=iters, ls_iters=ls_iters, tol=tol, dt=dt, damp=damp,
+        has_damping=bool(model.has_damping), quad_mask=quad_mask, ell0=ell0,
+        ell_mu=ell_mu, ell_scale=ell_scale,
+    )
+    bout = jax.vmap(
+        lambda qM, Jc, js, D, ar, ex, ec, fs, qv: S._cg_arrays(
+            qM, Jc, js, D, ar, ex, ec, fs, qv, **statics
+        )
+    )(
+        dF.qM, dF.efc_Jc, dF.efc_jsign, dF.efc_D, dF.efc_aref, exists,
+        e_con, dF.qfrc_smooth, dF.qvel,
+    )
+    return kout, bout
+
+
+def _assert_close(kout, bout, rtol=1e-9, atol=1e-11):
+    names = ("qacc", "force", "qfrc_constraint", "qacc_smooth", "qvel_next")
+    for nm, k, b in zip(names, kout, bout):
+        np.testing.assert_allclose(
+            np.asarray(k), np.asarray(b), rtol=rtol, atol=atol, err_msg=nm
+        )
+
+
+def test_fused_assembly_minirat():
+    """Quad cone: one-hot limits + pyramidal combination, single root."""
+    model, mj = bspec.build_model(
+        "builtin:minirat.xml", solver="cg", iterations=6, ls_iterations=6,
+        dtype=jnp.float64, return_mj=True,
+    )
+    dF = _batched_forward(model, mj, 4, 0)
+    assert np.asarray(dF.efc_pos < dF.efc_margin).any()
+    kout, bout = _run_both(model, dF)
+    _assert_close(kout, bout)
+
+
+def test_fused_assembly_rodent_pair():
+    """Two kinematic roots: per-root dof-range masking in the J build."""
+    model, mj = bspec.build_model(
+        RODENT_PAIR, free_jnt=True, rescale_root="torso",
+        solver="cg", iterations=6, ls_iterations=6,
+        dtype=jnp.float64, return_mj=True,
+    )
+    layout = Cn.efc_layout(model)
+    fstat = S._fused_statics(model, layout)
+    assert len(fstat["root_bounds"]) == 2
+    dF = _batched_forward(model, mj, 2, 1, drop=0.012)
+    assert np.asarray(dF.efc_pos < dF.efc_margin).any()
+    kout, bout = _run_both(model, dF)
+    _assert_close(kout, bout)
+
+
+def test_fused_assembly_fly_elliptic():
+    """Elliptic block: permuted rows, P selection, free-root fly."""
+    model, mj = bspec.build_model(
+        FLY, free_jnt=True, solver="cg", iterations=6, ls_iterations=6,
+        dtype=jnp.float64, return_mj=True,
+    )
+    import mujoco
+
+    mjd = mujoco.MjData(mj)
+    mjd.qpos[:] = mj.qpos0
+    for _ in range(2000):
+        mujoco.mj_step(mj, mjd)
+        if mjd.ncon >= 4 and np.min(mjd.contact.dist[: mjd.ncon]) < -1e-5:
+            break
+    rng = np.random.RandomState(5)
+    B = 2
+    d0 = bstep.make_data(model)
+    dB = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), d0)
+    dB = dB.replace(
+        qpos=jnp.asarray(np.tile(mjd.qpos[None], (B, 1))),
+        qvel=jnp.asarray(rng.uniform(-0.1, 0.1, (B, mj.nv))),
+        ctrl=jnp.asarray(rng.uniform(-0.2, 0.2, (B, mj.nu))),
+    )
+    dF = jax.vmap(lambda dd: bstep.forward(model, dd))(dB)
+    layout = Cn.efc_layout(model)
+    meta = S._cone_meta(model, layout)
+    assert meta.ell_con.size > 0
+    kout, bout = _run_both(model, dF)
+    _assert_close(kout, bout)
