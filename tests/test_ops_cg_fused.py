@@ -177,3 +177,52 @@ def test_fused_assembly_fly_elliptic():
     assert meta.ell_con.size > 0
     kout, bout = _run_both(model, dF)
     _assert_close(kout, bout)
+
+
+def test_solver_dispatch_fused_branch(monkeypatch):
+    """End-to-end wiring of _solve_quad's batched Pallas branch: force the
+    _use_pallas gate open (interpret-mode kernel) and run a full vmapped
+    step — validates the staging/argument plumbing between solver.py and
+    cg_solve_fused that otherwise only executes on real TPU."""
+    import functools
+
+    from brax_tracking_tpu.ops import cg as ops_cg
+    from brax_tracking_tpu.ops import cholesky as ops_chol
+
+    model, mj = bspec.build_model(
+        "builtin:minirat.xml", solver="cg", iterations=6, ls_iterations=6,
+        dtype=jnp.float64, return_mj=True,
+    )
+    B = 3
+    rng = np.random.RandomState(3)
+    d0 = bstep.make_data(model)
+    dB = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), d0)
+    qpos = np.tile(np.asarray(mj.qpos0)[None], (B, 1))
+    qpos[:, 2] -= 0.01
+    qpos[:, 7:] += rng.uniform(-0.05, 0.05, (B, mj.nq - 7))
+    dB = dB.replace(
+        qpos=jnp.asarray(qpos),
+        qvel=jnp.asarray(rng.uniform(-0.5, 0.5, (B, mj.nv))),
+        ctrl=jnp.asarray(rng.uniform(-0.3, 0.3, (B, mj.nu))),
+    )
+    step = jax.vmap(lambda dd: bstep.step(model, dd))
+
+    ref = step(dB)  # array fallback path
+
+    orig = ops_cg.cg_solve_fused
+    monkeypatch.setattr(ops_chol, "_use_pallas", lambda x: True)
+    monkeypatch.setattr(
+        ops_cg, "cg_solve_fused",
+        functools.partial(orig, interpret=True),
+    )
+    out = jax.jit(step)(dB)
+
+    np.testing.assert_allclose(
+        np.asarray(out.qacc), np.asarray(ref.qacc), rtol=1e-9, atol=1e-11
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.qvel), np.asarray(ref.qvel), rtol=1e-9, atol=1e-11
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.qpos), np.asarray(ref.qpos), rtol=1e-9, atol=1e-12
+    )
