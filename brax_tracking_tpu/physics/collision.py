@@ -251,4 +251,279 @@ def collision(m: M.Model, d: M.Data) -> M.Data:
         frame = frame.at[slots].set(make_frame(n))
         # second slot of capsule-capsule pairs stays inactive (dist=1e10)
 
+    # ---- plane-cylinder: unified 4-slot rim scheme ----
+    # Slots: deepest rim point of the near disk, the same rim direction on
+    # the far disk (activates when lying on the side), and +-120 degree rim
+    # points on the near disk (activate when standing on the face). All of
+    # MuJoCo's mjc_PlaneCylinder cases (1 tilted / 2 side / 3 flat contacts)
+    # emerge from plain dist < margin activation of these four candidates.
+    pcy = sel((t1 == M.GEOM_PLANE) & (t2 == M.GEOM_CYLINDER))
+    if pcy.size:
+        pn = _gz(d, g1[pcy])
+        pp = d.geom_xpos[g1[pcy]]
+        c = d.geom_xpos[g2[pcy]]
+        axis = _gz(d, g2[pcy])
+        r = m.geom_size[g2[pcy], 0].astype(dtype)
+        h = m.geom_size[g2[pcy], 1].astype(dtype)
+        ca = jnp.sum(pn * axis, axis=-1)  # cos(axis, normal)
+        sgn = jnp.where(ca >= 0, 1.0, -1.0).astype(dtype)
+        # in-disk direction toward the plane (radial == rim direction)
+        d1 = ca[:, None] * axis - pn
+        d1n = jnp.linalg.norm(d1, axis=-1, keepdims=True)
+        # axis ~ parallel to normal: any perpendicular (x-axis of the geom)
+        from brax_tracking_tpu import math as btm
+
+        gx = btm.quat_to_mat(d.geom_xquat[g2[pcy]])[..., :, 0]
+        d1 = jnp.where(d1n > 1e-10, d1 / jnp.maximum(d1n, M.MINVAL), gx)
+        d2 = jnp.cross(axis, d1)  # completes the disk basis
+        lo = c - axis * (h * sgn)[:, None]  # near (deepest) disk center
+        hi = c + axis * (h * sgn)[:, None]
+        cand = [
+            lo + r[:, None] * d1,
+            hi + r[:, None] * d1,
+            lo + r[:, None] * (-0.5 * d1 + 0.8660254037844386 * d2),
+            lo + r[:, None] * (-0.5 * d1 - 0.8660254037844386 * d2),
+        ]
+        fr = make_frame(pn)
+        for k, p in enumerate(cand):
+            di = jnp.sum(pn * (p - pp), axis=-1)
+            po = p - 0.5 * di[:, None] * pn
+            slots = slot0[pcy] + k
+            dist = dist.at[slots].set(di)
+            pos = pos.at[slots].set(po)
+            frame = frame.at[slots].set(fr)
+
+    # ---- point-vs-box helper (local frame) ----
+    def _point_box(local, s):
+        """outward unit dir (local), signed center distance to the surface
+        (positive outside), and the surface point, for points vs a box of
+        half-sizes s. Inside points exit through the nearest face."""
+        clamped = jnp.clip(local, -s, s)
+        delta = local - clamped
+        dn = jnp.linalg.norm(delta, axis=-1)
+        outside = dn > 1e-12
+        out_dir = delta / jnp.maximum(dn, M.MINVAL)[:, None]
+        gaps = s - jnp.abs(local)  # (n, 3)
+        kmin = jnp.argmin(gaps, axis=-1)
+        onehot = jax.nn.one_hot(kmin, 3, dtype=local.dtype)
+        in_dir = onehot * jnp.sign(
+            jnp.where(jnp.abs(local) > 1e-12, local, 1.0)
+        )
+        in_gap = jnp.take_along_axis(gaps, kmin[:, None], axis=-1)[:, 0]
+        q_in = local + in_dir * in_gap[:, None]
+        outward = jnp.where(outside[:, None], out_dir, in_dir)
+        cdist = jnp.where(outside, dn, -in_gap)
+        q = jnp.where(outside[:, None], clamped, q_in)
+        return outward, cdist, q
+
+    # ---- sphere-box ----
+    sb = sel((t1 == M.GEOM_SPHERE) & (t2 == M.GEOM_BOX))
+    if sb.size:
+        cs = d.geom_xpos[g1[sb]]
+        r = m.geom_size[g1[sb], 0].astype(dtype)
+        cb = d.geom_xpos[g2[sb]]
+        Rb = _gmat(d, g2[sb])
+        s = m.geom_size[g2[sb]].astype(dtype)
+        local = jnp.einsum("nij,ni->nj", Rb, cs - cb)
+        outward_l, cdist, q_l = _point_box(local, s)
+        di = cdist - r
+        outward = jnp.einsum("nij,nj->ni", Rb, outward_l)
+        po = cb + jnp.einsum("nij,nj->ni", Rb, q_l) + 0.5 * di[:, None] * outward
+        slots = slot0[sb]
+        dist = dist.at[slots].set(di)
+        pos = pos.at[slots].set(po)
+        frame = frame.at[slots].set(make_frame(-outward))
+
+    # ---- capsule-box: one candidate per capsule end (alternating
+    # projection between the segment and the box); when both ends converge
+    # to the same closest point (tip contact) the duplicate is disabled ----
+    cb_ = sel((t1 == M.GEOM_CAPSULE) & (t2 == M.GEOM_BOX))
+    if cb_.size:
+        cc_ = d.geom_xpos[g1[cb_]]
+        axc = _gz(d, g1[cb_])
+        r = m.geom_size[g1[cb_], 0].astype(dtype)
+        hc = m.geom_size[g1[cb_], 1].astype(dtype)
+        cb2 = d.geom_xpos[g2[cb_]]
+        Rb = _gmat(d, g2[cb_])
+        s = m.geom_size[g2[cb_]].astype(dtype)
+        prev_p = None
+        prev_out = None
+        for endi, esign in enumerate((1.0, -1.0)):
+            p = cc_ + esign * axc * hc[:, None]
+            for _ in range(6):
+                local = jnp.einsum("nij,ni->nj", Rb, p - cb2)
+                qw = cb2 + jnp.einsum(
+                    "nij,nj->ni", Rb, jnp.clip(local, -s, s)
+                )
+                p = _seg_closest(qw, cc_, axc, hc)
+            local = jnp.einsum("nij,ni->nj", Rb, p - cb2)
+            outward_l, cdist, q_l = _point_box(local, s)
+            di = cdist - r
+            outward = jnp.einsum("nij,nj->ni", Rb, outward_l)
+            po = (
+                cb2
+                + jnp.einsum("nij,nj->ni", Rb, q_l)
+                + 0.5 * di[:, None] * outward
+            )
+            if endi == 1:
+                # keep the second candidate only when it is a distinct
+                # contact on the same side of the box (hemisphere test):
+                # a capsule piercing straight through would otherwise
+                # produce an opposing phantom contact. mjc_CapsuleBox's
+                # exact second-contact case analysis (lying / leaning-over-
+                # edge) emerges from this plus dist < margin activation.
+                dup = jnp.linalg.norm(p - prev_p, axis=-1) < 1e-9
+                hemi = jnp.sum(outward * prev_out, axis=-1) > 0.0
+                di = jnp.where(hemi & ~dup, di, 1e10)
+            prev_p = p
+            prev_out = outward
+            slots = slot0[cb_] + endi
+            dist = dist.at[slots].set(di)
+            pos = pos.at[slots].set(po)
+            frame = frame.at[slots].set(make_frame(-outward))
+
+    # ---- ellipsoid projections (iterative; MuJoCo uses MPR here, so these
+    # pairs are near-exact for separated/shallow contacts and approximate
+    # for deep overlap — documented deviation, same as MJX) ----
+    def _ellipsoid_project(p, s):
+        """Closest surface point to p on the ellipsoid diag(s), local frame.
+        Newton on the Lagrange parameter for outside points; radial scaling
+        fallback for inside points."""
+        s2 = s * s
+        phi = jnp.sum(p * p / jnp.maximum(s2, M.MINVAL), axis=-1)
+        inside = phi < 1.0
+        t = jnp.zeros_like(phi)
+        for _ in range(12):
+            denom = t[:, None] + s2
+            f = jnp.sum(s2 * p * p / jnp.maximum(denom * denom, M.MINVAL), -1) - 1.0
+            fp = -2.0 * jnp.sum(
+                s2 * p * p / jnp.maximum(denom * denom * denom, M.MINVAL), -1
+            )
+            t = t - f / jnp.where(jnp.abs(fp) > M.MINVAL, fp, -1.0)
+            t = jnp.maximum(t, 0.0)  # outside points have t* >= 0
+        x_out = s2 * p / jnp.maximum(t[:, None] + s2, M.MINVAL)
+        x_in = p / jnp.sqrt(jnp.maximum(phi, M.MINVAL))[:, None]
+        return jnp.where(inside[:, None], x_in, x_out), inside
+
+    def _sphere_ellipsoid(cs, r, ce, Re, se):
+        """dist/pos/normal for a sphere against an ellipsoid (normal from
+        the sphere into the ellipsoid, MuJoCo geom1->geom2 convention)."""
+        p = jnp.einsum("nij,ni->nj", Re, cs - ce)
+        x, inside = _ellipsoid_project(p, se)
+        delta = p - x
+        dn = jnp.maximum(jnp.linalg.norm(delta, axis=-1), M.MINVAL)
+        grad = x / jnp.maximum(se * se, M.MINVAL)
+        gradn = grad / jnp.maximum(
+            jnp.linalg.norm(grad, axis=-1, keepdims=True), M.MINVAL
+        )
+        out_l = jnp.where(inside[:, None], gradn, delta / dn[:, None])
+        di = jnp.where(inside, -(dn + r), dn - r)
+        outward = jnp.einsum("nij,nj->ni", Re, out_l)
+        po = ce + jnp.einsum("nij,nj->ni", Re, x) + 0.5 * di[:, None] * outward
+        return di, po, -outward
+
+    se_ = sel((t1 == M.GEOM_SPHERE) & (t2 == M.GEOM_ELLIPSOID))
+    if se_.size:
+        di, po, n = _sphere_ellipsoid(
+            d.geom_xpos[g1[se_]],
+            m.geom_size[g1[se_], 0].astype(dtype),
+            d.geom_xpos[g2[se_]],
+            _gmat(d, g2[se_]),
+            m.geom_size[g2[se_]].astype(dtype),
+        )
+        slots = slot0[se_]
+        dist = dist.at[slots].set(di)
+        pos = pos.at[slots].set(po)
+        frame = frame.at[slots].set(make_frame(n))
+
+    ce_ = sel((t1 == M.GEOM_CAPSULE) & (t2 == M.GEOM_ELLIPSOID))
+    if ce_.size:
+        cc_ = d.geom_xpos[g1[ce_]]
+        axc = _gz(d, g1[ce_])
+        r = m.geom_size[g1[ce_], 0].astype(dtype)
+        hc = m.geom_size[g1[ce_], 1].astype(dtype)
+        ce2 = d.geom_xpos[g2[ce_]]
+        Re = _gmat(d, g2[ce_])
+        se2 = m.geom_size[g2[ce_]].astype(dtype)
+
+        # signed point-to-surface distance at segment parameter t in [-1,1];
+        # the signed distance of a convex set is convex, so it is unimodal
+        # along the axis: coarse grid + ternary refinement finds the deepest
+        # (or closest) segment point in both the separated and the
+        # deep-overlap regime (an alternating closest-point projection would
+        # converge to the *shallowest* penetrating point when inside).
+        def _sdist_at(t):
+            pw = cc_ + (t * hc)[:, None] * axc
+            pl = jnp.einsum("nij,ni->nj", Re, pw - ce2)
+            x, inside = _ellipsoid_project(pl, se2)
+            dn = jnp.linalg.norm(pl - x, axis=-1)
+            return jnp.where(inside, -dn, dn)
+
+        ts = jnp.linspace(-1.0, 1.0, 17).astype(dtype)
+        vals = jnp.stack([_sdist_at(jnp.full(cc_.shape[:1], t, dtype)) for t in ts])
+        k = jnp.argmin(vals, axis=0)
+        lo = ts[jnp.maximum(k - 1, 0)]
+        hi = ts[jnp.minimum(k + 1, len(ts) - 1)]
+        for _ in range(14):
+            m1 = lo + (hi - lo) / 3.0
+            m2 = hi - (hi - lo) / 3.0
+            go_lo = _sdist_at(m1) < _sdist_at(m2)
+            hi = jnp.where(go_lo, m2, hi)
+            lo = jnp.where(go_lo, lo, m1)
+        t_best = 0.5 * (lo + hi)
+        p = cc_ + (t_best * hc)[:, None] * axc
+        di, po, n = _sphere_ellipsoid(p, r, ce2, Re, se2)
+        slots = slot0[ce_]
+        dist = dist.at[slots].set(di)
+        pos = pos.at[slots].set(po)
+        frame = frame.at[slots].set(make_frame(n))
+
+    ee = sel((t1 == M.GEOM_ELLIPSOID) & (t2 == M.GEOM_ELLIPSOID))
+    if ee.size:
+        # concave dual: over unit directions u, the support-function gap
+        #   g(u) = u.(c2-c1) - sqrt(u^T A1 u) - sqrt(u^T A2 u),
+        # with A_i = R_i diag(s_i^2) R_i^T, attains max_u g = signed
+        # separation (negative = penetration depth, the MTV) at the contact
+        # normal u*. Normalized-gradient ascent with a decaying angular
+        # step; exact for both separated and overlapping ellipsoids.
+        c1, c2 = d.geom_xpos[g1[ee]], d.geom_xpos[g2[ee]]
+        R1, R2 = _gmat(d, g1[ee]), _gmat(d, g2[ee])
+        s1 = m.geom_size[g1[ee]].astype(dtype)
+        s2_ = m.geom_size[g2[ee]].astype(dtype)
+        dc = c2 - c1
+
+        def _Au(R, s, u):
+            ul = jnp.einsum("nij,ni->nj", R, u)
+            return jnp.einsum("nij,nj->ni", R, s * s * ul)
+
+        def _norm(v):
+            return v / jnp.maximum(
+                jnp.linalg.norm(v, axis=-1, keepdims=True), M.MINVAL
+            )
+
+        u = _norm(dc)
+        step = 0.5
+        for _ in range(40):
+            a1u = _Au(R1, s1, u)
+            a2u = _Au(R2, s2_, u)
+            q1 = jnp.sqrt(jnp.maximum(jnp.sum(u * a1u, -1), M.MINVAL))
+            q2 = jnp.sqrt(jnp.maximum(jnp.sum(u * a2u, -1), M.MINVAL))
+            grad = dc - a1u / q1[:, None] - a2u / q2[:, None]
+            # project out the radial component, step along the sphere
+            grad = grad - u * jnp.sum(u * grad, -1, keepdims=True)
+            u = _norm(u + step * _norm(grad))
+            step *= 0.9
+        a1u = _Au(R1, s1, u)
+        a2u = _Au(R2, s2_, u)
+        q1 = jnp.sqrt(jnp.maximum(jnp.sum(u * a1u, -1), M.MINVAL))
+        q2 = jnp.sqrt(jnp.maximum(jnp.sum(u * a2u, -1), M.MINVAL))
+        di = jnp.sum(u * dc, -1) - q1 - q2
+        x1 = c1 + a1u / q1[:, None]  # support of E1 along +u
+        x2 = c2 - a2u / q2[:, None]  # support of E2 along -u
+        po = 0.5 * (x1 + x2)
+        slots = slot0[ee]
+        dist = dist.at[slots].set(di)
+        pos = pos.at[slots].set(po)
+        frame = frame.at[slots].set(make_frame(u))
+
     return d.replace(contact_dist=dist, contact_pos=pos, contact_frame=frame)

@@ -195,12 +195,14 @@ _PAIR_POINTS = {
     (M.GEOM_PLANE, M.GEOM_CAPSULE): 2,
     (M.GEOM_PLANE, M.GEOM_ELLIPSOID): 1,
     (M.GEOM_PLANE, M.GEOM_BOX): 4,
-    (M.GEOM_PLANE, M.GEOM_CYLINDER): 3,
+    (M.GEOM_PLANE, M.GEOM_CYLINDER): 4,
     (M.GEOM_SPHERE, M.GEOM_SPHERE): 1,
     (M.GEOM_SPHERE, M.GEOM_CAPSULE): 1,
     (M.GEOM_SPHERE, M.GEOM_ELLIPSOID): 1,
+    (M.GEOM_SPHERE, M.GEOM_BOX): 1,
     (M.GEOM_CAPSULE, M.GEOM_CAPSULE): 2,
     (M.GEOM_CAPSULE, M.GEOM_ELLIPSOID): 1,
+    (M.GEOM_CAPSULE, M.GEOM_BOX): 2,
     (M.GEOM_ELLIPSOID, M.GEOM_ELLIPSOID): 1,
 }
 
