@@ -46,23 +46,12 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _sweep_invert(nv: int, s_ref):
-    """In-place SPD inversion of the (Vp, Vp, L) scratch tile by the sweep
-    operator (same math as ops/cholesky._inverse_kernel)."""
+    """In-place SPD inversion of the (Vp, Vp, L) scratch tile by the
+    blocked sweep operator (shared with ops/cholesky; nv/8 full-tile
+    passes instead of nv, sublane-aligned panel slices)."""
+    from brax_tracking_tpu.ops.cholesky import sweep_invert_ref
 
-    def body(k, _):
-        row = s_ref[pl.ds(k, 1)][0]  # (Vp, L)
-        col = s_ref[:, pl.ds(k, 1)][:, 0]  # (Vp, L)
-        dinv = 1.0 / s_ref[pl.ds(k, 1), pl.ds(k, 1)][0]  # (1, L)
-        row_d = row * jnp.broadcast_to(dinv, row.shape)
-        s_ref[:] = s_ref[:] - col[:, None, :] * row_d[None, :, :]
-        s_ref[pl.ds(k, 1)] = row_d[None]
-        s_ref[:, pl.ds(k, 1)] = -(col * jnp.broadcast_to(dinv, col.shape))[
-            :, None, :
-        ]
-        s_ref[pl.ds(k, 1), pl.ds(k, 1)] = dinv[None]
-        return 0
-
-    jax.lax.fori_loop(0, nv, body, 0)
+    sweep_invert_ref(nv, s_ref)
 
 
 def _chunk_rows(total: int, vp: int, lane: int, budget: int = 6_000_000) -> int:

@@ -216,29 +216,71 @@ def _cholesky_factor_vmap(axis_size, in_batched, qM):
     return jax.vmap(jax.scipy.linalg.cholesky)(qM), True
 
 
-def _inverse_kernel(nv: int, a_ref, o_ref):
-    """In-place SPD inversion by the sweep operator; (n, n, LANE) tile.
+def sweep_invert_ref(nv: int, s_ref, block: int = _SUBLANE):
+    """In-place SPD inversion of an (n, n, LANE) VMEM tile by the *blocked*
+    sweep operator (block Gauss-Jordan / Schur-complement form).
 
-    Per step k (verified convention): rank-1 downdate by outer(col_k, row_k)/d,
-    then row_k <- row_k/d, col_k <- -col_k/d, diag <- 1/d. After sweeping all
-    nv pivots the tile holds A^-1. Same per-step cost as _factor_kernel, so
-    one inversion ~= one factorization — and it turns every downstream
-    M^-1 rhs into a single (MXU) matmul instead of an nv-step substitution.
+    Per block [kb, kb+b): with S = [[A, R'], [C', N]] (A the pivot block):
+      S <- [[A^-1, A^-1 R'], [-C' A^-1, N - C' A^-1 R']]
+    Sweeping all pivots leaves S = inverse (same convention as the scalar
+    sweep, verified identical numerically). Why blocked: the scalar sweep
+    makes nv full-tile read-modify-write passes; the blocked form makes
+    nv/block passes with a block-deep FMA tree that stays in registers, and
+    its column-panel extraction is sublane-aligned (the scalar version
+    slices single sublanes at 1/8 utilization). The panel sizes match the
+    TPU sublane (8), so kb slices land on tile boundaries.
+
+    Rows/cols >= nv are never modified logically: the final partial block
+    is masked to the identity in the pivot and zero in the panels.
+    """
+    for kb in range(0, nv, block):
+        b = min(block, nv - kb)
+        R = s_ref[pl.ds(kb, block)]  # (block, n, LANE) row panel
+        C = s_ref[:, pl.ds(kb, block)]  # (n, block, LANE) col panel
+        A = jax.lax.slice_in_dim(R, kb, kb + block, axis=1)  # (block, block, L)
+        if b < block:
+            # extend the pivot block with the identity and mask the panels:
+            # padded pivots then sweep as exact no-ops
+            ii = jax.lax.broadcasted_iota(jnp.int32, (block, block, 1), 0)
+            jj = jax.lax.broadcasted_iota(jnp.int32, (block, block, 1), 1)
+            keep = (ii < b) & (jj < b)
+            eye = (ii == jj).astype(A.dtype)
+            A = jnp.where(keep, A, jnp.where(ii == jj, eye, 0.0))
+            jc = jax.lax.broadcasted_iota(jnp.int32, (1, block, 1), 1)
+            C = jnp.where(jc < b, C, 0.0)
+        # --- invert the pivot block by `block` scalar sweeps (tiny tile) ---
+        Ai = A
+        for k in range(block):
+            rowk = Ai[k]  # (block, LANE)
+            colk = Ai[:, k]  # (block, LANE)
+            dinv = 1.0 / Ai[k, k]  # (LANE,)
+            row_d = rowk * dinv[None, :]
+            Ai = Ai - colk[:, None, :] * row_d[None, :, :]
+            Ai = Ai.at[k].set(row_d)
+            Ai = Ai.at[:, k].set(-colk * dinv[None, :])
+            Ai = Ai.at[k, k].set(dinv)
+        # --- panel products (block-deep, stay in registers) ---
+        # RD[i] = sum_j Ai[i, j] * R[j]  -> A^-1 R'
+        RD = sum(Ai[:, j, None, :] * R[j][None] for j in range(block))
+        # CA[:, i] = sum_j C[:, j] * Ai[j, i] -> C' A^-1
+        CA = sum(C[:, j, None, :] * Ai[j][None, :, :] for j in range(block))
+        # --- Schur update of the whole tile in ONE pass ---
+        upd = sum(C[:, j, None, :] * RD[j][None] for j in range(block))
+        s_ref[:] = s_ref[:] - upd
+        s_ref[pl.ds(kb, block)] = RD
+        s_ref[:, pl.ds(kb, block)] = -CA
+        s_ref[pl.ds(kb, block), pl.ds(kb, block)] = Ai
+
+
+def _inverse_kernel(nv: int, a_ref, o_ref):
+    """In-place SPD inversion by the blocked sweep; (n, n, LANE) tile.
+
+    One inversion ~= one factorization in FLOPs — and it turns every
+    downstream M^-1 rhs into a single matmul instead of an nv-step
+    substitution. See sweep_invert_ref for the blocked-sweep math.
     """
     o_ref[:] = a_ref[:]
-
-    def body(k, _):
-        row = o_ref[pl.ds(k, 1)][0]  # (n, LANE)
-        col = o_ref[:, pl.ds(k, 1)][:, 0]  # (n, LANE)
-        dinv = 1.0 / o_ref[pl.ds(k, 1), pl.ds(k, 1)][0]  # (1, LANE)
-        row_d = row * dinv
-        o_ref[:] = o_ref[:] - col[:, None, :] * row_d[None, :, :]
-        o_ref[pl.ds(k, 1)] = row_d[None]
-        o_ref[:, pl.ds(k, 1)] = -(col * dinv)[:, None, :]
-        o_ref[pl.ds(k, 1), pl.ds(k, 1)] = dinv[None]
-        return 0
-
-    jax.lax.fori_loop(0, nv, body, 0)
+    sweep_invert_ref(nv, o_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
