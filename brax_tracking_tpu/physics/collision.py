@@ -71,6 +71,202 @@ def _gmat(d: M.Data, g) -> jax.Array:
     return btm.quat_to_mat(d.geom_xquat[g])
 
 
+def _sgn(x: jax.Array) -> jax.Array:
+    """sign() that never returns 0 (degenerate centered poses)."""
+    return jnp.where(x >= 0, 1.0, -1.0).astype(x.dtype)
+
+
+def _box_box(c1, R1, s1, c2, R2, s2, dtype):
+    """Box-box narrowphase: SAT (6 face + 9 edge-cross axes) + an 8-point
+    face manifold / 1-point edge contact.
+
+    Face case: the incident face's 4 corners clamped into the reference
+    face rectangle, plus the reference rectangle's 4 corners where they
+    project inside the incident face — together they cover small-on-big,
+    big-on-small and crossed-rectangle overlaps (duplicates from the
+    clamping are deactivated). Contact depth is the normal gap of the
+    incident-face plane evaluated at each candidate's face coordinates.
+    Edge case (a cross axis wins the SAT): single contact at the closest
+    points of the two witness edges. This is not mjc_BoxBox's exact case
+    analysis; the physically-load-bearing properties (deepest contact,
+    manifold span, no deeper phantom) match the oracle — see
+    tests/test_collision_extended.py.
+
+    Returns (dist (n,8), pos (n,8,3), normal (n,8,3)); normal geom1->geom2.
+    """
+    Rt = jnp.einsum("nki,nkj->nij", R1, R2)  # box2 axes in box1 frame
+    p = jnp.einsum("nki,nk->ni", R1, c2 - c1)  # box2 center in box1 frame
+    AbsR = jnp.abs(Rt) + 1e-9  # epsilon: parallel-edge SAT robustness
+
+    sep_a = jnp.abs(p) - (s1 + jnp.einsum("nij,nj->ni", AbsR, s2))
+    pB = jnp.einsum("nij,ni->nj", Rt, p)  # p in box2 axes
+    sep_b = jnp.abs(pB) - (s2 + jnp.einsum("nij,ni->nj", AbsR, s1))
+
+    seps_c = []
+    for i in range(3):
+        i1, i2 = (i + 1) % 3, (i + 2) % 3
+        for j in range(3):
+            j1, j2 = (j + 1) % 3, (j + 2) % 3
+            rA = s1[:, i1] * AbsR[:, i2, j] + s1[:, i2] * AbsR[:, i1, j]
+            rB = s2[:, j1] * AbsR[:, i, j2] + s2[:, j2] * AbsR[:, i, j1]
+            dd = jnp.abs(p[:, i2] * Rt[:, i1, j] - p[:, i1] * Rt[:, i2, j])
+            ln2 = Rt[:, i1, j] ** 2 + Rt[:, i2, j] ** 2  # |e_i x b_j|^2
+            sep = (dd - (rA + rB)) / jnp.sqrt(jnp.maximum(ln2, 1e-12))
+            # near-parallel edges: axis degenerate, never the winner
+            seps_c.append(jnp.where(ln2 < 1e-8, -jnp.inf, sep))
+    sep_c = jnp.stack(seps_c, axis=1)  # (n, 9)
+
+    sep_f = jnp.concatenate([sep_a, sep_b], axis=1)  # (n, 6)
+    fmax = jnp.max(sep_f, axis=1)
+    cmax = jnp.max(sep_c, axis=1)
+    # bias toward face manifolds (standard SAT practice; avoids jitter
+    # between near-equal face and edge axes)
+    is_edge = cmax > fmax + 1e-6
+
+    # ---------------- face manifold (A = winning-face box) ----------------
+    face_idx = jnp.argmax(sep_f, axis=1)
+    is_b = face_idx >= 3
+    fi = face_idx % 3
+    wb = is_b[:, None, None]
+    Mab = jnp.where(wb, jnp.swapaxes(Rt, 1, 2), Rt)  # B axes in A frame
+    cB = jnp.where(is_b[:, None], -pB, p)  # B center in A frame
+    sA = jnp.where(is_b[:, None], s2, s1)
+    sB = jnp.where(is_b[:, None], s1, s2)
+    h_f = jax.nn.one_hot(fi, 3, dtype=dtype)
+    h_u = jax.nn.one_hot((fi + 1) % 3, 3, dtype=dtype)
+    h_v = jax.nn.one_hot((fi + 2) % 3, 3, dtype=dtype)
+    dot = lambda a, b: jnp.sum(a * b, axis=-1)
+    sigma = _sgn(dot(h_f, cB))  # face of A toward B
+    sAf, sAu, sAv = dot(h_f, sA), dot(h_u, sA), dot(h_v, sA)
+
+    # incident face on B: axis most anti-parallel to the face normal
+    mf = jnp.einsum("nf,nfj->nj", h_f, Mab)  # row f of Mab
+    h_j = jax.nn.one_hot(jnp.argmax(jnp.abs(mf), axis=1), 3, dtype=dtype)
+    w = _sgn(dot(h_j, mf) * sigma)
+    bj = jnp.einsum("nfj,nj->nf", Mab, h_j)
+    fc = cB - (w * dot(h_j, sB))[:, None] * bj  # incident face center
+    jn = jnp.argmax(jnp.abs(mf), axis=1)
+    h_a = jax.nn.one_hot((jn + 1) % 3, 3, dtype=dtype)
+    h_b = jax.nn.one_hot((jn + 2) % 3, 3, dtype=dtype)
+    ea = jnp.einsum("nfj,nj->nf", Mab, h_a) * dot(h_a, sB)[:, None]
+    eb = jnp.einsum("nfj,nj->nf", Mab, h_b) * dot(h_b, sB)[:, None]
+    # affine incident-face map x(a,b) = fc + a ea + b eb in face coords
+    fc_u, fc_v = dot(h_u, fc), dot(h_v, fc)
+    ea_u, ea_v = dot(h_u, ea), dot(h_v, ea)
+    eb_u, eb_v = dot(h_u, eb), dot(h_v, eb)
+    fc_h = sigma * dot(h_f, fc) - sAf  # normal gap at the face center
+    ea_h, eb_h = sigma * dot(h_f, ea), sigma * dot(h_f, eb)
+    det = ea_u * eb_v - eb_u * ea_v
+    det_ok = jnp.abs(det) > 1e-9
+    det_s = jnp.where(det_ok, det, 1.0)
+
+    def uv_to_ab(u, v):
+        du, dv = u - fc_u, v - fc_v
+        return (eb_v * du - eb_u * dv) / det_s, (-ea_v * du + ea_u * dv) / det_s
+
+    f_u, f_v, f_h = [], [], []
+    for a, b in ((1.0, 1.0), (1.0, -1.0), (-1.0, 1.0), (-1.0, -1.0)):
+        # project the incident corner into the overlap region: alternate
+        # clamping between the reference rectangle (u,v coords) and the
+        # incident face box ((a,b) coords) — both convex, so this converges
+        # into their intersection (the true contact patch); evaluating the
+        # incident-plane height outside its own footprint would create
+        # phantom contacts deeper than any real overlap.
+        uu = fc_u + a * ea_u + b * eb_u
+        vv = fc_v + a * ea_v + b * eb_v
+        a2 = jnp.full_like(uu, a)
+        b2 = jnp.full_like(vv, b)
+        for _ in range(6):
+            uu = jnp.clip(uu, -sAu, sAu)
+            vv = jnp.clip(vv, -sAv, sAv)
+            na, nb = uv_to_ab(uu, vv)
+            a2 = jnp.where(det_ok, jnp.clip(na, -1.0, 1.0), a2)
+            b2 = jnp.where(det_ok, jnp.clip(nb, -1.0, 1.0), b2)
+            uu = jnp.where(det_ok, fc_u + a2 * ea_u + b2 * eb_u, uu)
+            vv = jnp.where(det_ok, fc_v + a2 * ea_v + b2 * eb_v, vv)
+        # empty intersection (corner sticks out past the rect): deactivate
+        ok = (
+            (jnp.abs(uu) <= sAu + 1e-7)
+            & (jnp.abs(vv) <= sAv + 1e-7)
+        ) | ~det_ok
+        uu = jnp.clip(uu, -sAu, sAu)
+        vv = jnp.clip(vv, -sAv, sAv)
+        hh = jnp.where(ok, fc_h + a2 * ea_h + b2 * eb_h, 1e10)
+        f_u.append(uu)
+        f_v.append(vv)
+        f_h.append(hh)
+    for a, b in ((1.0, 1.0), (1.0, -1.0), (-1.0, 1.0), (-1.0, -1.0)):
+        uu = a * sAu
+        vv = b * sAv
+        a2, b2 = uv_to_ab(uu, vv)
+        inside = det_ok & (jnp.abs(a2) <= 1.0 + 1e-6) & (jnp.abs(b2) <= 1.0 + 1e-6)
+        # drop duplicates of the clamped incident corners
+        for k in range(4):
+            inside = inside & (
+                jnp.abs(uu - f_u[k]) + jnp.abs(vv - f_v[k]) > 1e-9
+            )
+        hh = jnp.where(inside, fc_h + a2 * ea_h + b2 * eb_h, 1e10)
+        f_u.append(uu)
+        f_v.append(vv)
+        f_h.append(hh)
+
+    R_A = jnp.where(wb, R2, R1)
+    c_A = jnp.where(is_b[:, None], c2, c1)
+    n_loc = sigma[:, None] * h_f
+    # normal convention: geom1 -> geom2 in world
+    fn = jnp.einsum("nij,nj->ni", R_A, n_loc) * jnp.where(is_b, -1.0, 1.0)[:, None]
+
+    # ---------------- edge-edge contact ----------------
+    eidx = jnp.argmax(sep_c, axis=1)
+    h_i = jax.nn.one_hot(eidx // 3, 3, dtype=dtype)
+    h_j2 = jax.nn.one_hot(eidx % 3, 3, dtype=dtype)
+    d1 = h_i  # e_i in box1 frame
+    d2 = jnp.einsum("nij,nj->ni", Rt, h_j2)  # b_j in box1 frame
+    axis = jnp.cross(d1, d2)
+    axis = axis / jnp.maximum(
+        jnp.linalg.norm(axis, axis=-1, keepdims=True), M.MINVAL
+    )
+    u_dir = axis * _sgn(dot(axis, p))[:, None]  # box1 -> box2
+    o1 = (1.0 - h_i) * s1 * _sgn(u_dir)
+    ub = jnp.einsum("nij,ni->nj", Rt, u_dir)  # u in box2 axes
+    o2 = p + jnp.einsum("nij,nj->ni", Rt, (1.0 - h_j2) * s2 * (-_sgn(ub)))
+    w0 = o1 - o2
+    b_ = dot(d1, d2)
+    d_ = dot(d1, w0)
+    e_ = dot(d2, w0)
+    denom = jnp.maximum(1.0 - b_ * b_, 1e-12)
+    t1 = jnp.clip((b_ * e_ - d_) / denom, -dot(h_i, s1), dot(h_i, s1))
+    t2 = jnp.clip((e_ - b_ * d_) / denom, -dot(h_j2, s2), dot(h_j2, s2))
+    p1 = o1 + t1[:, None] * d1
+    p2 = o2 + t2[:, None] * d2
+    edist = dot(p2 - p1, u_dir)
+    epos = c1 + jnp.einsum("nij,nj->ni", R1, 0.5 * (p1 + p2))
+    en = jnp.einsum("nij,nj->ni", R1, u_dir)
+
+    # ---------------- merge ----------------
+    dists, poss, nrms = [], [], []
+    for k in range(8):
+        x_loc = (
+            h_u * f_u[k][:, None]
+            + h_v * f_v[k][:, None]
+            + h_f * (sigma * (sAf + 0.5 * jnp.minimum(f_h[k], 1e9)))[:, None]
+        )
+        fpos = c_A + jnp.einsum("nij,nj->ni", R_A, x_loc)
+        if k == 0:
+            dists.append(jnp.where(is_edge, edist, f_h[k]))
+            poss.append(jnp.where(is_edge[:, None], epos, fpos))
+            nrms.append(jnp.where(is_edge[:, None], en, fn))
+        else:
+            dists.append(jnp.where(is_edge, 1e10, f_h[k]))
+            poss.append(fpos)
+            nrms.append(fn)
+    return (
+        jnp.stack(dists, 1),
+        jnp.stack(poss, 1),
+        jnp.stack(nrms, 1),
+    )
+
+
 def collision(m: M.Model, d: M.Data) -> M.Data:
     dtype = d.qpos.dtype
     ncon = m.ncon
@@ -477,6 +673,23 @@ def collision(m: M.Model, d: M.Data) -> M.Data:
         dist = dist.at[slots].set(di)
         pos = pos.at[slots].set(po)
         frame = frame.at[slots].set(make_frame(n))
+
+    # ---- box-box: SAT + 8-point face manifold / edge contact ----
+    bb = sel((t1 == M.GEOM_BOX) & (t2 == M.GEOM_BOX))
+    if bb.size:
+        di, po, nr = _box_box(
+            d.geom_xpos[g1[bb]],
+            _gmat(d, g1[bb]),
+            m.geom_size[g1[bb]].astype(dtype),
+            d.geom_xpos[g2[bb]],
+            _gmat(d, g2[bb]),
+            m.geom_size[g2[bb]].astype(dtype),
+            dtype,
+        )
+        slots = (slot0[bb][:, None] + np.arange(8)[None, :]).ravel()
+        dist = dist.at[slots].set(di.reshape(-1))
+        pos = pos.at[slots].set(po.reshape(-1, 3))
+        frame = frame.at[slots].set(make_frame(nr.reshape(-1, 3)))
 
     ee = sel((t1 == M.GEOM_ELLIPSOID) & (t2 == M.GEOM_ELLIPSOID))
     if ee.size:

@@ -87,6 +87,8 @@ class _Ctx(NamedTuple):
 def _eval_cost_force(m, meta, layout, pairs_friction, exists_row, exists_con, jar, efc_D):
     """Constraint cost and per-row force at the given jar.
 
+    pairs_friction: (ncon, 5) per-SLOT friction (pair friction expanded
+    through layout.con_pair — a pair can own several slots),
     exists_row: (nefc,) bool — row instantiated (efc_pos < efc_margin),
     exists_con: (ncon,) bool — contact slot active (for elliptic cones).
     """
@@ -406,12 +408,14 @@ def _solve_quad(m: M.Model, d: M.Data, layout: Cn.EfcLayout) -> M.Data:
     nell = int(meta.ell_con.size)
     if nell:
         ell0 = int(meta.ell_rows.min())
-        ell_mu = np.asarray(m.pairs.friction, np.float64)[meta.ell_con, 0]
-        fr = np.asarray(m.pairs.friction, np.float64)[meta.ell_con, 1:3]
+        # friction is per PAIR; elliptic slot ids map through con_pair
+        # (a pair can own several slots, e.g. a 4-point box manifold)
+        cp = layout.con_pair[meta.ell_con]
+        ell_mu = np.asarray(m.pairs.friction, np.float64)[cp, 0]
+        fr = np.asarray(m.pairs.friction, np.float64)[cp, 1:3]
         ell_scale = fr / ell_mu[:, None]  # (nell, 2)
         quad_mask = np.zeros(layout.nefc, np.float64)
         quad_mask[meta.quad_rows] = 1.0
-        cp = layout.con_pair[meta.ell_con]
         includemargin = m.pairs.margin[cp].astype(d.qpos.dtype)
         exists_con = d.contact_dist[meta.ell_con] < includemargin
     else:
@@ -749,7 +753,12 @@ def _cg_arrays(qM, Jc, jsign, D, aref, exists, e_con, qfrc_smooth, qvel, *,
 def _solve_xla(m: M.Model, d: M.Data, layout: Cn.EfcLayout, meta: _ConeMeta) -> M.Data:
     """General (incl. elliptic-cone) CG solve in plain XLA."""
     dtype = d.qpos.dtype
-    friction = m.pairs.friction.astype(dtype) if m.ncon else jnp.zeros((0, 5), dtype)
+    # per-SLOT friction (pairs own several slots for multi-point manifolds)
+    friction = (
+        m.pairs.friction[layout.con_pair].astype(dtype)
+        if m.ncon
+        else jnp.zeros((0, 5), dtype)
+    )
     # spatial gating: a row is instantiated iff its pos is within margin
     exists_row = d.efc_pos < d.efc_margin
     if m.ncon:

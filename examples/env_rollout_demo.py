@@ -60,6 +60,8 @@ def main():
     ap.add_argument("env", nargs="?", default="rodent", choices=["rodent", "fly"])
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--video", default="")
+    ap.add_argument("--contacts", action="store_true",
+                    help="print the per-contact force table at the last step")
     args = ap.parse_args()
 
     env, xml = build_env(args.env)
@@ -90,6 +92,31 @@ def main():
           f"max {rewards.max():.4f}")
     for k, v in rollout[-1].metrics.items():
         print(f"  metrics[{k}] = {float(v):.4f}")
+
+    if args.contacts:
+        # per-contact wrench table — the notebook's contact-force
+        # visualization data (Env_Testing_Fly01.ipynb cells 13-16,
+        # mj_contactForce equivalent)
+        from brax_tracking_tpu.physics import support
+
+        d_last = rollout[-1].pipeline_state
+        forces = np.asarray(support.contact_force(env.model, d_last))
+        act = np.asarray(support.active_contacts(env.model, d_last))
+        pos = np.asarray(d_last.contact_pos)
+        dist = np.asarray(d_last.contact_dist)
+        g1 = np.asarray(env.model.pairs.geom1)
+        g2 = np.asarray(env.model.pairs.geom2)
+        slot_pair = np.repeat(
+            np.arange(g1.size), np.asarray(env.model.pairs.npoint)
+        )
+        print(f"contacts at final step: {int(act.sum())}/{act.size} slots")
+        for s in np.nonzero(act)[0]:
+            pr = slot_pair[s]
+            print(
+                f"  geoms {g1[pr]:3d}-{g2[pr]:3d}  dist {dist[s]:+.5f}  "
+                f"pos {np.round(pos[s], 4)}  "
+                f"f[n,t1,t2] {np.round(forces[s, :3], 4)}"
+            )
 
     if args.video:
         import mujoco

@@ -198,6 +198,105 @@ def test_ellipsoid_ellipsoid_poses():
     assert total > 10
 
 
+def test_box_box_canonical():
+    """Exact parity on face-manifold and corner configurations: the SAT
+    winner, manifold span, per-point depth and positions all match
+    mjc_BoxBox on flat (4 pts), rotated-flat (4), edge-tilted (2) and
+    corner-down (1) stacks."""
+    xml = """<mujoco><worldbody>
+    <geom type="box" size="0.2 0.15 0.1" contype="1" conaffinity="1"/>
+    <body pos="0 0 0.19"><freejoint/><geom type="box" size="0.08 0.06 0.05"/>
+    </body></worldbody></mujoco>"""
+    c30, s30 = np.cos(np.pi / 12), np.sin(np.pi / 12)
+    c20, s20 = np.cos(np.pi / 18), np.sin(np.pi / 18)
+    for qp in [
+        np.array([0, 0, 0.14, 1, 0, 0, 0]),  # flat: 4 contacts
+        np.concatenate([[0, 0, 0.14], [c30, 0, 0, s30]]),  # rotated flat: 4
+        np.concatenate([[0.0, 0, 0.16], [c20, 0, s20, 0]]),  # edge-tilt: 2
+    ]:
+        _compare(xml, qpos=qp, d_tol=1e-9, p_tol=1e-8, n_tol=1e-9)
+
+
+def test_box_box_big_on_small():
+    """Reference face smaller than the incident face: the manifold comes
+    from the reference corners projected into the incident face (and the
+    clamped incident corners dedup away)."""
+    xml = """<mujoco><worldbody>
+    <geom type="box" size="0.05 0.04 0.1" contype="1" conaffinity="1"/>
+    <body pos="0 0 0.19"><freejoint/><geom type="box" size="0.2 0.15 0.05"/>
+    </body></worldbody></mujoco>"""
+    _compare(
+        xml, qpos=np.array([0, 0, 0.14, 1, 0, 0, 0]),
+        d_tol=1e-9, p_tol=1e-8, n_tol=1e-9,
+    )
+
+
+def test_box_box_random_deepest():
+    """Random poses: mjc_BoxBox's exact manifold selection is not matched
+    point-for-point; assert the physically-load-bearing properties — the
+    deepest contact agrees and no phantom is deeper than the oracle's."""
+    xml = """<mujoco><worldbody>
+    <geom type="box" size="0.1 0.12 0.08" contype="1" conaffinity="1"/>
+    <body pos="0.2 0 0"><freejoint/><geom type="box" size="0.07 0.05 0.06"/>
+    </body></worldbody></mujoco>"""
+    mj = mujoco.MjModel.from_xml_string(xml)
+    model = bspec.model_from_mj(mj, dtype=jnp.float64)
+    rng = np.random.RandomState(6)
+    hits = 0
+    for _ in range(40):
+        p = rng.uniform(-1, 1, 3)
+        p = p / np.linalg.norm(p) * rng.uniform(0.12, 0.3)
+        qp = _free_qpos(rng, p, 0.0)
+        mjd = mujoco.MjData(mj)
+        mjd.qpos[:] = qp
+        mujoco.mj_forward(mj, mjd)
+        d = bstep.make_data(model).replace(qpos=jnp.array(qp))
+        d = bstep.forward(model, d)
+        dist = np.asarray(d.contact_dist)
+        ours = dist[dist < 1e-9]
+        if mjd.ncon == 0:
+            assert ours.size == 0
+            continue
+        hits += 1
+        omin = min(mjd.contact[i].dist for i in range(mjd.ncon))
+        assert ours.size >= 1
+        if omin < -0.02:
+            # deep overlap (unreachable at dt=2ms): sign + monotonicity only
+            assert ours.min() <= 0.2 * omin, (ours, omin)
+            assert ours.min() >= omin - 2e-2
+        else:
+            assert abs(ours.min() - omin) < 1e-6, (ours, omin)
+            assert ours.min() >= omin - 1e-6  # no phantom deeper than oracle
+    assert hits > 10
+
+
+def test_box_settles_on_box():
+    """Dynamics: a box dropped onto a fixed box comes to rest at the
+    oracle's height through the full constraint solver."""
+    xml = """<mujoco>
+    <option timestep="0.002" solver="CG" iterations="20" ls_iterations="10"/>
+    <worldbody><geom type="box" size="0.3 0.3 0.1" contype="1" conaffinity="1"/>
+    <body pos="0.02 0.01 0.28"><freejoint/>
+    <geom type="box" size="0.06 0.05 0.04" euler="15 25 40"/></body>
+    </worldbody></mujoco>"""
+    mj = mujoco.MjModel.from_xml_string(xml)
+    mjd = mujoco.MjData(mj)
+    for _ in range(700):
+        mujoco.mj_step(mj, mjd)
+    model = bspec.model_from_mj(mj, dtype=jnp.float64)
+    d = bstep.make_data(model)
+    step = jax.jit(lambda dd: bstep.step(model, dd))
+    for _ in range(700):
+        d = step(d)
+    qpos = np.asarray(d.qpos)
+    qvel = np.asarray(d.qvel)
+    assert np.isfinite(qpos).all() and np.isfinite(qvel).all()
+    assert 0.1 < qpos[2] < 0.25  # resting on the lower box
+    oracle_speed = np.abs(mjd.qvel).max()
+    assert np.abs(qvel).max() < max(0.5, 1.5 * oracle_speed)
+    assert abs(qpos[2] - mjd.qpos[2]) < 0.02
+
+
 @pytest.mark.parametrize("geom", [
     'type="cylinder" size="0.08 0.1"',
     'type="box" size="0.08 0.06 0.05"',
