@@ -209,7 +209,39 @@ def measure_ours() -> float:
     return NUM_ENVS * NUM_STEPS * reps / dt
 
 
+def _probe_backend(timeout_s: float = 240.0) -> None:
+    """Fail fast (clear message, nonzero exit) when the accelerator backend
+    cannot initialize — e.g. the axon TPU tunnel is down. Backend init
+    otherwise hangs for many minutes and the caller only sees a timeout."""
+    import threading
+
+    import jax
+
+    result: dict = {}
+
+    def probe():
+        try:
+            result["devices"] = jax.devices()
+        except Exception as e:  # backend init error
+            result["error"] = repr(e)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        raise SystemExit(
+            f"bench: accelerator backend init did not complete in "
+            f"{timeout_s:.0f}s — the TPU tunnel is likely down"
+        )
+    if "error" in result:
+        raise SystemExit(f"bench: backend init failed: {result['error']}")
+    import sys
+
+    print(f"# devices: {result['devices']}", file=sys.stderr, flush=True)
+
+
 def main():
+    _probe_backend()
     ours = measure_ours()
     baseline = get_baseline()
     metric = "env_steps_per_s_per_chip"

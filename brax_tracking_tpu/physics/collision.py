@@ -674,6 +674,110 @@ def collision(m: M.Model, d: M.Data) -> M.Data:
         pos = pos.at[slots].set(po)
         frame = frame.at[slots].set(make_frame(n))
 
+    # ---- cylinder convex pairs (sphere/capsule vs cylinder) ----
+    def _point_cylinder(pl_, r, h):
+        """Signed distance, closest surface point and outward normal for
+        points vs a cylinder (radius r, half-height h), local frame.
+        Regions: outside corner (rim), side (|z| within caps or deeper
+        inside radially), cap. Inside points exit through the nearer
+        surface (max of the two signed gaps)."""
+        x, y, z = pl_[..., 0], pl_[..., 1], pl_[..., 2]
+        rho = jnp.sqrt(jnp.maximum(x * x + y * y, M.MINVAL * M.MINVAL))
+        er = jnp.stack([x / rho, y / rho, jnp.zeros_like(rho)], -1)
+        zhat = jnp.zeros_like(er).at[..., 2].set(1.0)
+        dr = rho - r
+        dz = jnp.abs(z) - h
+        sz = _sgn(z)
+        corner = (dr > 0) & (dz > 0)
+        d_c = jnp.sqrt(jnp.maximum(dr * dr + dz * dz, M.MINVAL * M.MINVAL))
+        q_c = er * r[..., None] + zhat * (sz * h)[..., None]
+        n_c = (er * dr[..., None] + zhat * (sz * dz)[..., None]) / d_c[..., None]
+        side = dr > dz
+        q_s = er * r[..., None] + zhat * z[..., None]
+        q_cap = pl_ * jnp.array([1.0, 1.0, 0.0], pl_.dtype) + zhat * (sz * h)[..., None]
+        d_sc = jnp.where(side, dr, dz)
+        q_sc = jnp.where(side[..., None], q_s, q_cap)
+        n_sc = jnp.where(side[..., None], er, zhat * sz[..., None])
+        dd = jnp.where(corner, d_c, d_sc)
+        return (
+            dd,
+            jnp.where(corner[..., None], q_c, q_sc),
+            jnp.where(corner[..., None], n_c, n_sc),
+        )
+
+    def _sphere_cylinder(cs, rs, cc2, Rc, rcy, hcy):
+        pl_ = jnp.einsum("nij,ni->nj", Rc, cs - cc2)
+        d0, q, nl = _point_cylinder(pl_, rcy, hcy)
+        di = d0 - rs
+        outward = jnp.einsum("nij,nj->ni", Rc, nl)  # cylinder -> sphere
+        po = cc2 + jnp.einsum("nij,nj->ni", Rc, q) + 0.5 * di[:, None] * outward
+        return di, po, -outward  # normal geom1 (sphere/capsule) -> geom2
+
+    scy = sel((t1 == M.GEOM_SPHERE) & (t2 == M.GEOM_CYLINDER))
+    if scy.size:
+        di, po, n = _sphere_cylinder(
+            d.geom_xpos[g1[scy]],
+            m.geom_size[g1[scy], 0].astype(dtype),
+            d.geom_xpos[g2[scy]],
+            _gmat(d, g2[scy]),
+            m.geom_size[g2[scy], 0].astype(dtype),
+            m.geom_size[g2[scy], 1].astype(dtype),
+        )
+        slots = slot0[scy]
+        dist = dist.at[slots].set(di)
+        pos = pos.at[slots].set(po)
+        frame = frame.at[slots].set(make_frame(n))
+
+    ccy = sel((t1 == M.GEOM_CAPSULE) & (t2 == M.GEOM_CYLINDER))
+    if ccy.size:
+        cc_ = d.geom_xpos[g1[ccy]]
+        axc = _gz(d, g1[ccy])
+        r = m.geom_size[g1[ccy], 0].astype(dtype)
+        hc = m.geom_size[g1[ccy], 1].astype(dtype)
+        cc2 = d.geom_xpos[g2[ccy]]
+        Rc = _gmat(d, g2[ccy])
+        rcy = m.geom_size[g2[ccy], 0].astype(dtype)
+        hcy = m.geom_size[g2[ccy], 1].astype(dtype)
+
+        # deepest segment point by grid + ternary search on the (convex,
+        # hence unimodal along the axis) signed point-cylinder distance —
+        # same scheme as capsule-ellipsoid above
+        def _sdist_cyl(t):
+            pw = cc_ + (t * hc)[:, None] * axc
+            pl_ = jnp.einsum("nij,ni->nj", Rc, pw - cc2)
+            return _point_cylinder(pl_, rcy, hcy)[0]
+
+        ts = jnp.linspace(-1.0, 1.0, 17).astype(dtype)
+        vals = jnp.stack(
+            [_sdist_cyl(jnp.full(cc_.shape[:1], t, dtype)) for t in ts]
+        )
+        k = jnp.argmin(vals, axis=0)
+        lo = ts[jnp.maximum(k - 1, 0)]
+        hi = ts[jnp.minimum(k + 1, len(ts) - 1)]
+        for _ in range(14):
+            m1 = lo + (hi - lo) / 3.0
+            m2 = hi - (hi - lo) / 3.0
+            go_lo = _sdist_cyl(m1) < _sdist_cyl(m2)
+            hi = jnp.where(go_lo, m2, hi)
+            lo = jnp.where(go_lo, lo, m1)
+        t_best = 0.5 * (lo + hi)
+        # 3 slots: the deepest segment point plus both capsule ends — a
+        # capsule lying along the side (or across a cap) contacts on a
+        # line, which the oracle resolves with a multi-point manifold; the
+        # end candidates activate exactly there (dist < margin) and dedup
+        # against t_best when it sits at an end.
+        for ci, t in enumerate(
+            (t_best, jnp.ones_like(t_best), -jnp.ones_like(t_best))
+        ):
+            p = cc_ + (t * hc)[:, None] * axc
+            di, po, n = _sphere_cylinder(p, r, cc2, Rc, rcy, hcy)
+            if ci > 0:
+                di = jnp.where(jnp.abs(t - t_best) < 1e-4, 1e10, di)
+            slots = slot0[ccy] + ci
+            dist = dist.at[slots].set(di)
+            pos = pos.at[slots].set(po)
+            frame = frame.at[slots].set(make_frame(n))
+
     # ---- box-box: SAT + 8-point face manifold / edge contact ----
     bb = sel((t1 == M.GEOM_BOX) & (t2 == M.GEOM_BOX))
     if bb.size:

@@ -204,6 +204,8 @@ _PAIR_POINTS = {
     (M.GEOM_CAPSULE, M.GEOM_ELLIPSOID): 1,
     (M.GEOM_CAPSULE, M.GEOM_BOX): 2,
     (M.GEOM_ELLIPSOID, M.GEOM_ELLIPSOID): 1,
+    (M.GEOM_SPHERE, M.GEOM_CYLINDER): 1,
+    (M.GEOM_CAPSULE, M.GEOM_CYLINDER): 3,
     (M.GEOM_BOX, M.GEOM_BOX): 8,
 }
 

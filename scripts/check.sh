@@ -9,8 +9,15 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-echo "== pytest =="
-python -m pytest tests/ -q "$@"
+echo "== pytest (part 1: a-o) =="
+# Split into two fresh processes: one process accumulating the whole
+# suite's XLA:CPU compiles eventually segfaults inside
+# backend_compile_and_load (observed at ~85 tests / ~126-test suite;
+# every test passes standalone). Two halves stay under the threshold.
+python -m pytest tests/test_[a-o]*.py -q "$@"
+
+echo "== pytest (part 2: p-z) =="
+python -m pytest tests/test_[p-z]*.py -q "$@"
 
 echo "== multichip dryrun (8 virtual devices) =="
 XLA_FLAGS="--xla_force_host_platform_device_count=8" python -c "

@@ -198,6 +198,90 @@ def test_ellipsoid_ellipsoid_poses():
     assert total > 10
 
 
+def test_sphere_cylinder_poses():
+    """Sphere vs cylinder side/cap/rim regions over random poses."""
+    xml = """<mujoco><worldbody>
+    <geom type="cylinder" size="0.08 0.1" contype="1" conaffinity="1"/>
+    <body pos="0.15 0 0"><freejoint/><geom type="sphere" size="0.05"/>
+    </body></worldbody></mujoco>"""
+    rng = np.random.RandomState(7)
+    total = 0
+    for _ in range(30):
+        p = rng.uniform(-1, 1, 3)
+        p = p / np.linalg.norm(p) * rng.uniform(0.08, 0.2)
+        total += _compare(
+            xml, qpos=_free_qpos(rng, p, 0.0),
+            d_tol=1e-6, p_tol=1e-5, n_tol=1e-4, deep_loose=True,
+        )
+    assert total > 10
+
+
+def test_capsule_cylinder_random_deepest():
+    """The oracle resolves line contacts with its own multi-point manifold
+    (count varies); assert deepest-contact agreement and no deeper
+    phantom over random poses."""
+    xml = """<mujoco><worldbody>
+    <geom type="cylinder" size="0.07 0.09" contype="1" conaffinity="1"/>
+    <body pos="0.15 0 0"><freejoint/><geom type="capsule" size="0.04 0.08"/>
+    </body></worldbody></mujoco>"""
+    mj = mujoco.MjModel.from_xml_string(xml)
+    model = bspec.model_from_mj(mj, dtype=jnp.float64)
+    rng = np.random.RandomState(8)
+    hits = 0
+    for _ in range(40):
+        p = rng.uniform(-1, 1, 3)
+        p = p / np.linalg.norm(p) * rng.uniform(0.1, 0.24)
+        qp = _free_qpos(rng, p, 0.0)
+        mjd = mujoco.MjData(mj)
+        mjd.qpos[:] = qp
+        mujoco.mj_forward(mj, mjd)
+        d = bstep.make_data(model).replace(qpos=jnp.array(qp))
+        d = bstep.forward(model, d)
+        dist = np.asarray(d.contact_dist)
+        ours = dist[dist < 1e-9]
+        if mjd.ncon == 0:
+            assert ours.size == 0
+            continue
+        hits += 1
+        omin = min(mjd.contact[i].dist for i in range(mjd.ncon))
+        assert ours.size >= 1
+        if omin < -0.02:
+            assert ours.min() <= 0.2 * omin, (ours, omin)
+            assert ours.min() >= omin - 2e-2
+        else:
+            assert abs(ours.min() - omin) < 5e-4, (ours, omin)
+            assert ours.min() >= omin - 5e-4
+    assert hits > 10
+
+
+def test_capsule_lying_on_cylinder_settles():
+    """A capsule dropped parallel onto a cylinder side needs the line
+    contact resolved by >1 point or it rocks forever; compare the resting
+    state against the oracle through the full solver."""
+    xml = """<mujoco>
+    <option timestep="0.002" solver="CG" iterations="20" ls_iterations="10"/>
+    <worldbody><geom type="plane" size="1 1 .1"/>
+    <geom type="cylinder" size="0.08 0.12" pos="0 0 0.08" euler="90 0 0"
+          contype="1" conaffinity="1"/>
+    <body pos="0.0 0.01 0.3"><freejoint/>
+    <geom type="capsule" size="0.03 0.07" euler="90 0 0"/></body>
+    </worldbody></mujoco>"""
+    mj = mujoco.MjModel.from_xml_string(xml)
+    mjd = mujoco.MjData(mj)
+    for _ in range(700):
+        mujoco.mj_step(mj, mjd)
+    model = bspec.model_from_mj(mj, dtype=jnp.float64)
+    d = bstep.make_data(model)
+    step = jax.jit(lambda dd: bstep.step(model, dd))
+    for _ in range(700):
+        d = step(d)
+    qpos = np.asarray(d.qpos)
+    assert np.isfinite(qpos).all()
+    # both engines either balance it on top or drop it to the floor;
+    # accept the oracle's outcome within 2 cm
+    assert abs(qpos[2] - mjd.qpos[2]) < 0.02, (qpos[2], mjd.qpos[2])
+
+
 def test_box_box_canonical():
     """Exact parity on face-manifold and corner configurations: the SAT
     winner, manifold span, per-point depth and positions all match
