@@ -778,6 +778,82 @@ def collision(m: M.Model, d: M.Data) -> M.Data:
             pos = pos.at[slots].set(po)
             frame = frame.at[slots].set(make_frame(n))
 
+    # ---- generic convex-convex (support-function dual ascent) ----
+    # Covers the remaining primitive combinations (ellipsoid-box,
+    # ellipsoid-cylinder, cylinder-cylinder, cylinder-box) with one
+    # single-point scheme, the same dual the ellipsoid-ellipsoid branch
+    # solves: max over unit u of g(u) = u.(c2-c1) - h1(u) - h2(u) equals
+    # the signed separation (negative = exact MTV penetration) for any
+    # two convex bodies; grad h = the support witness point, so the
+    # ascent needs only support functions. MuJoCo resolves these pairs
+    # with MPR (mjc_Convex) and also emits one contact.
+    def _support(gtype, Rw, size, u):
+        """(h(u), witness(u)) of the centered geom along world dirs u."""
+        ul = jnp.einsum("nij,ni->nj", Rw, u)
+        if gtype == M.GEOM_BOX:
+            w_l = size * _sgn(ul)
+            h = jnp.sum(size * jnp.abs(ul), -1)
+        elif gtype == M.GEOM_CYLINDER:
+            perp = ul * jnp.array([1.0, 1.0, 0.0], ul.dtype)
+            pn = jnp.maximum(jnp.linalg.norm(perp, axis=-1, keepdims=True), M.MINVAL)
+            w_l = size[:, 0:1] * perp / pn + jnp.concatenate(
+                [jnp.zeros_like(perp[:, :2]), (size[:, 1] * _sgn(ul[:, 2]))[:, None]],
+                axis=-1,
+            )
+            h = jnp.sum(w_l * ul, -1)
+        elif gtype == M.GEOM_ELLIPSOID:
+            su = size * ul
+            h = jnp.maximum(jnp.linalg.norm(su, axis=-1), M.MINVAL)
+            w_l = size * su / h[:, None]
+        else:  # pragma: no cover
+            raise NotImplementedError(gtype)
+        return h, jnp.einsum("nij,nj->ni", Rw, w_l)
+
+    def _convex_pair(ta, tb, idx):
+        c1w, c2w = d.geom_xpos[g1[idx]], d.geom_xpos[g2[idx]]
+        R1w, R2w = _gmat(d, g1[idx]), _gmat(d, g2[idx])
+        s1w = m.geom_size[g1[idx]].astype(dtype)
+        s2w = m.geom_size[g2[idx]].astype(dtype)
+        dc = c2w - c1w
+
+        def _norm(v):
+            return v / jnp.maximum(
+                jnp.linalg.norm(v, axis=-1, keepdims=True), M.MINVAL
+            )
+
+        def ascend(k, carry):
+            u, step = carry
+            _, w1 = _support(ta, R1w, s1w, u)
+            _, w2 = _support(tb, R2w, s2w, -u)
+            grad = dc - w1 + w2  # note: h2 along -u => witness -w2(-u)
+            grad = grad - u * jnp.sum(u * grad, -1, keepdims=True)
+            return _norm(u + step * _norm(grad)), step * 0.93
+
+        u, _ = jax.lax.fori_loop(
+            0, 60, ascend, (_norm(dc), jnp.asarray(0.5, dtype))
+        )
+        h1, w1 = _support(ta, R1w, s1w, u)
+        h2, w2 = _support(tb, R2w, s2w, -u)
+        di = jnp.sum(u * dc, -1) - h1 - h2
+        x1 = c1w + w1
+        x2 = c2w + w2
+        po = 0.5 * (x1 + x2)
+        return di, po, u
+
+    for ta, tb in (
+        (M.GEOM_ELLIPSOID, M.GEOM_CYLINDER),
+        (M.GEOM_ELLIPSOID, M.GEOM_BOX),
+        (M.GEOM_CYLINDER, M.GEOM_CYLINDER),
+        (M.GEOM_CYLINDER, M.GEOM_BOX),
+    ):
+        cv = sel((t1 == ta) & (t2 == tb))
+        if cv.size:
+            di, po, n = _convex_pair(ta, tb, cv)
+            slots = slot0[cv]
+            dist = dist.at[slots].set(di)
+            pos = pos.at[slots].set(po)
+            frame = frame.at[slots].set(make_frame(n))
+
     # ---- box-box: SAT + 8-point face manifold / edge contact ----
     bb = sel((t1 == M.GEOM_BOX) & (t2 == M.GEOM_BOX))
     if bb.size:

@@ -207,6 +207,11 @@ _PAIR_POINTS = {
     (M.GEOM_SPHERE, M.GEOM_CYLINDER): 1,
     (M.GEOM_CAPSULE, M.GEOM_CYLINDER): 3,
     (M.GEOM_BOX, M.GEOM_BOX): 8,
+    # generic convex-convex dual ascent (single contact, like mjc_Convex)
+    (M.GEOM_ELLIPSOID, M.GEOM_CYLINDER): 1,
+    (M.GEOM_ELLIPSOID, M.GEOM_BOX): 1,
+    (M.GEOM_CYLINDER, M.GEOM_CYLINDER): 1,
+    (M.GEOM_CYLINDER, M.GEOM_BOX): 1,
 }
 
 

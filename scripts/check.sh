@@ -9,15 +9,30 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-echo "== pytest (part 1: a-o) =="
-# Split into two fresh processes: one process accumulating the whole
-# suite's XLA:CPU compiles eventually segfaults inside
-# backend_compile_and_load (observed at ~85 tests / ~126-test suite;
-# every test passes standalone). Two halves stay under the threshold.
-python -m pytest tests/test_[a-o]*.py -q "$@"
+# Two fresh pytest processes (memory headroom on the 1-core host), each
+# with one self-healing retry: a crashed/killed process can leave a
+# truncated jax compile-cache entry, and both reading and rewriting such
+# an entry SEGFAULTS inside jax's compilation_cache — wiping the cache
+# and retrying once recovers (slower: cold compiles).
+run_pytest() {
+  local label="$1"; shift
+  echo "== pytest ($label) =="
+  local rc=0
+  python -m pytest "$@" || rc=$?
+  if [ "$rc" -ge 128 ]; then
+    # crashed (SIGSEGV=139/SIGABRT=134): a killed/crashed process leaves
+    # truncated jax compile-cache entries, and reading OR rewriting one
+    # crashes again — wipe the cache and retry once (cold compiles)
+    echo "== pytest ($label) crashed (rc=$rc): wiping jax compile cache, retrying once =="
+    rm -rf /tmp/btt_jax_cache
+    python -m pytest "$@"
+  elif [ "$rc" -ne 0 ]; then
+    exit "$rc"
+  fi
+}
 
-echo "== pytest (part 2: p-z) =="
-python -m pytest tests/test_[p-z]*.py -q "$@"
+run_pytest "part 1: a-o" tests/test_[a-o]*.py -q "$@"
+run_pytest "part 2: p-z" tests/test_[p-z]*.py -q "$@"
 
 echo "== multichip dryrun (8 virtual devices) =="
 XLA_FLAGS="--xla_force_host_platform_device_count=8" python -c "

@@ -8,6 +8,8 @@ MTV). The analytic pairs match mjc_* to machine epsilon; the ellipsoid
 pairs match MuJoCo's MPR to the tolerance MPR itself converges to.
 """
 
+import os
+
 import mujoco
 import numpy as np
 import jax
@@ -280,6 +282,98 @@ def test_capsule_lying_on_cylinder_settles():
     # both engines either balance it on top or drop it to the floor;
     # accept the oracle's outcome within 2 cm
     assert abs(qpos[2] - mjd.qpos[2]) < 0.02, (qpos[2], mjd.qpos[2])
+
+
+def _convex_compare(seed, ga, gb):
+    """Full convex-pair comparison vs the oracle; raises on mismatch.
+
+    Runs in a THROWAWAY CHILD PROCESS (see the test below): compiling the
+    dual-ascent forward() graphs poisons the XLA:CPU process state — the
+    next large compile in the same process (e.g. the box-settle step graph,
+    or the driver smoke epoch) segfaults inside backend_compile_and_load.
+    Reproduced deterministically at the same test position across cold
+    caches; every graph compiles fine in a fresh process.
+    """
+    xml = f"""<mujoco><worldbody>
+    <geom {ga} contype="1" conaffinity="1"/>
+    <body pos="0.2 0 0"><freejoint/><geom {gb}/></body>
+    </worldbody></mujoco>"""
+    rng = np.random.RandomState(seed)
+    qps = []
+    for _ in range(30):
+        p = rng.uniform(-1, 1, 3)
+        p = p / np.linalg.norm(p) * rng.uniform(0.1, 0.22)
+        qps.append(_free_qpos(rng, p, 0.0))
+
+    mj = mujoco.MjModel.from_xml_string(xml)
+    model = bspec.model_from_mj(mj, dtype=jnp.float64)
+    hits = 0
+    for qp in qps:
+        mjd = mujoco.MjData(mj)
+        mjd.qpos[:] = qp
+        mujoco.mj_forward(mj, mjd)
+        omin = (
+            min(mjd.contact[i].dist for i in range(mjd.ncon))
+            if mjd.ncon
+            else None
+        )
+        d = bstep.make_data(model).replace(qpos=jnp.array(qp))
+        d = bstep.forward(model, d)
+        dist = np.asarray(d.contact_dist)
+        ours = dist[dist < 1e-9]
+        if omin is None:
+            # the dual gap is exact; tiny disagreement only at grazing poses
+            assert ours.size == 0 or ours.min() > -5e-4, ours
+            continue
+        hits += 1
+        assert ours.size >= 1, (omin,)
+        if omin < -0.02:
+            assert ours.min() <= 0.2 * omin, (ours, omin)
+            assert ours.min() >= omin - 2e-2
+        else:
+            assert abs(ours.min() - omin) < 2e-3, (ours, omin)
+    assert hits >= 8
+
+
+@pytest.mark.parametrize("seed,ga,gb", [
+    (21, 'type="ellipsoid" size="0.08 0.06 0.05"', 'type="cylinder" size="0.06 0.08"'),
+    (22, 'type="ellipsoid" size="0.08 0.06 0.05"', 'type="box" size="0.07 0.05 0.06"'),
+    (23, 'type="cylinder" size="0.06 0.08"', 'type="cylinder" size="0.05 0.07"'),
+    (24, 'type="cylinder" size="0.06 0.08"', 'type="box" size="0.07 0.05 0.06"'),
+])
+def test_convex_pairs_random_deepest(seed, ga, gb):
+    """Generic convex-convex (dual ascent): the oracle's MPR emits one
+    contact for these pairs too; assert deepest agreement, no deeper
+    phantom, and contact/no-contact agreement over random poses.
+    Executed in a disposable subprocess — see _convex_compare's docstring."""
+    import subprocess
+    import sys
+
+    here = os.path.abspath(__file__)
+    repo = os.path.dirname(os.path.dirname(here))
+    code = (
+        "import sys, importlib.util\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "jax.config.update('jax_enable_x64', True)\n"
+        f"sys.path.insert(0, {repo!r})\n"
+        f"spec = importlib.util.spec_from_file_location('tce', {here!r})\n"
+        "m = importlib.util.module_from_spec(spec)\n"
+        "spec.loader.exec_module(m)\n"
+        f"m._convex_compare({seed}, {ga!r}, {gb!r})\n"
+        "print('CONVEX_OK')\n"
+    )
+    child = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        cwd=repo,
+    )
+    assert child.returncode == 0 and "CONVEX_OK" in child.stdout, (
+        child.stdout[-2000:],
+        child.stderr[-4000:],
+    )
 
 
 def test_box_box_canonical():
