@@ -76,6 +76,29 @@ def _sgn(x: jax.Array) -> jax.Array:
     return jnp.where(x >= 0, 1.0, -1.0).astype(x.dtype)
 
 
+def _seg_argmin(f, n: int, dtype) -> jax.Array:
+    """argmin over t in [-1, 1] of a per-pair function f((n,)->(n,)) that is
+    convex (hence unimodal) along the segment: 17-point grid (vmapped — one
+    traced body) + ternary refinement under lax.fori_loop. Rolled loops keep
+    the jaxpr small: giant unrolled collision graphs have triggered
+    XLA:CPU compiler crashes in long-lived processes."""
+    ts = jnp.linspace(-1.0, 1.0, 17).astype(dtype)
+    vals = jax.vmap(lambda t: f(jnp.full((n,), t, dtype)))(ts)
+    k = jnp.argmin(vals, axis=0)
+    lo = ts[jnp.maximum(k - 1, 0)]
+    hi = ts[jnp.minimum(k + 1, len(ts) - 1)]
+
+    def body(_, carry):
+        lo, hi = carry
+        m1 = lo + (hi - lo) / 3.0
+        m2 = hi - (hi - lo) / 3.0
+        go_lo = f(m1) < f(m2)
+        return jnp.where(go_lo, lo, m1), jnp.where(go_lo, m2, hi)
+
+    lo, hi = jax.lax.fori_loop(0, 14, body, (lo, hi))
+    return 0.5 * (lo + hi)
+
+
 def _box_box(c1, R1, s1, c2, R2, s2, dtype):
     """Box-box narrowphase: SAT (6 face + 9 edge-cross axes) + an 8-point
     face manifold / 1-point edge contact.
@@ -655,18 +678,7 @@ def collision(m: M.Model, d: M.Data) -> M.Data:
             dn = jnp.linalg.norm(pl - x, axis=-1)
             return jnp.where(inside, -dn, dn)
 
-        ts = jnp.linspace(-1.0, 1.0, 17).astype(dtype)
-        vals = jnp.stack([_sdist_at(jnp.full(cc_.shape[:1], t, dtype)) for t in ts])
-        k = jnp.argmin(vals, axis=0)
-        lo = ts[jnp.maximum(k - 1, 0)]
-        hi = ts[jnp.minimum(k + 1, len(ts) - 1)]
-        for _ in range(14):
-            m1 = lo + (hi - lo) / 3.0
-            m2 = hi - (hi - lo) / 3.0
-            go_lo = _sdist_at(m1) < _sdist_at(m2)
-            hi = jnp.where(go_lo, m2, hi)
-            lo = jnp.where(go_lo, lo, m1)
-        t_best = 0.5 * (lo + hi)
+        t_best = _seg_argmin(_sdist_at, cc_.shape[0], dtype)
         p = cc_ + (t_best * hc)[:, None] * axc
         di, po, n = _sphere_ellipsoid(p, r, ce2, Re, se2)
         slots = slot0[ce_]
@@ -747,20 +759,7 @@ def collision(m: M.Model, d: M.Data) -> M.Data:
             pl_ = jnp.einsum("nij,ni->nj", Rc, pw - cc2)
             return _point_cylinder(pl_, rcy, hcy)[0]
 
-        ts = jnp.linspace(-1.0, 1.0, 17).astype(dtype)
-        vals = jnp.stack(
-            [_sdist_cyl(jnp.full(cc_.shape[:1], t, dtype)) for t in ts]
-        )
-        k = jnp.argmin(vals, axis=0)
-        lo = ts[jnp.maximum(k - 1, 0)]
-        hi = ts[jnp.minimum(k + 1, len(ts) - 1)]
-        for _ in range(14):
-            m1 = lo + (hi - lo) / 3.0
-            m2 = hi - (hi - lo) / 3.0
-            go_lo = _sdist_cyl(m1) < _sdist_cyl(m2)
-            hi = jnp.where(go_lo, m2, hi)
-            lo = jnp.where(go_lo, lo, m1)
-        t_best = 0.5 * (lo + hi)
+        t_best = _seg_argmin(_sdist_cyl, cc_.shape[0], dtype)
         # 3 slots: the deepest segment point plus both capsule ends — a
         # capsule lying along the side (or across a cap) contacts on a
         # line, which the oracle resolves with a multi-point manifold; the
@@ -894,9 +893,8 @@ def collision(m: M.Model, d: M.Data) -> M.Data:
                 jnp.linalg.norm(v, axis=-1, keepdims=True), M.MINVAL
             )
 
-        u = _norm(dc)
-        step = 0.5
-        for _ in range(40):
+        def ascend(_, carry):
+            u, step = carry
             a1u = _Au(R1, s1, u)
             a2u = _Au(R2, s2_, u)
             q1 = jnp.sqrt(jnp.maximum(jnp.sum(u * a1u, -1), M.MINVAL))
@@ -904,8 +902,11 @@ def collision(m: M.Model, d: M.Data) -> M.Data:
             grad = dc - a1u / q1[:, None] - a2u / q2[:, None]
             # project out the radial component, step along the sphere
             grad = grad - u * jnp.sum(u * grad, -1, keepdims=True)
-            u = _norm(u + step * _norm(grad))
-            step *= 0.9
+            return _norm(u + step * _norm(grad)), step * 0.9
+
+        u, _ = jax.lax.fori_loop(
+            0, 40, ascend, (_norm(dc), jnp.asarray(0.5, dtype))
+        )
         a1u = _Au(R1, s1, u)
         a2u = _Au(R2, s2_, u)
         q1 = jnp.sqrt(jnp.maximum(jnp.sum(u * a1u, -1), M.MINVAL))
