@@ -249,6 +249,11 @@ def sweep_invert_ref(nv: int, s_ref, block: int = _SUBLANE):
             jc = jax.lax.broadcasted_iota(jnp.int32, (1, block, 1), 1)
             C = jnp.where(jc < b, C, 0.0)
         # --- invert the pivot block by `block` scalar sweeps (tiny tile) ---
+        # row/col/diag writes use iota masks, NOT .at[].set: value-updates
+        # at integer indices lower to lax.scatter, which Pallas TPU (Mosaic)
+        # cannot lower — masked selects vectorize fine on the VPU
+        ii = jax.lax.broadcasted_iota(jnp.int32, (block, block, 1), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (block, block, 1), 1)
         Ai = A
         for k in range(block):
             rowk = Ai[k]  # (block, LANE)
@@ -256,16 +261,19 @@ def sweep_invert_ref(nv: int, s_ref, block: int = _SUBLANE):
             dinv = 1.0 / Ai[k, k]  # (LANE,)
             row_d = rowk * dinv[None, :]
             Ai = Ai - colk[:, None, :] * row_d[None, :, :]
-            Ai = Ai.at[k].set(row_d)
-            Ai = Ai.at[:, k].set(-colk * dinv[None, :])
-            Ai = Ai.at[k, k].set(dinv)
+            Ai = jnp.where(ii == k, row_d[None, :, :], Ai)
+            Ai = jnp.where(jj == k, (-colk * dinv[None, :])[:, None, :], Ai)
+            Ai = jnp.where((ii == k) & (jj == k), dinv[None, None, :], Ai)
         # --- panel products (block-deep, stay in registers) ---
+        # NB: a[:, j][:, None, :] (slice then expand), never a[:, j, None, :]:
+        # mixing an int index with None falls off jnp's slice fast-path into
+        # lax.gather, which Mosaic only lowers in 2D
         # RD[i] = sum_j Ai[i, j] * R[j]  -> A^-1 R'
-        RD = sum(Ai[:, j, None, :] * R[j][None] for j in range(block))
+        RD = sum(Ai[:, j][:, None, :] * R[j][None] for j in range(block))
         # CA[:, i] = sum_j C[:, j] * Ai[j, i] -> C' A^-1
-        CA = sum(C[:, j, None, :] * Ai[j][None, :, :] for j in range(block))
+        CA = sum(C[:, j][:, None, :] * Ai[j][None, :, :] for j in range(block))
         # --- Schur update of the whole tile in ONE pass ---
-        upd = sum(C[:, j, None, :] * RD[j][None] for j in range(block))
+        upd = sum(C[:, j][:, None, :] * RD[j][None] for j in range(block))
         s_ref[:] = s_ref[:] - upd
         s_ref[pl.ds(kb, block)] = RD
         s_ref[:, pl.ds(kb, block)] = -CA
