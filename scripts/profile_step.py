@@ -66,7 +66,11 @@ def main() -> None:
 
     if os.environ.get("BTT_PROFILE_CPU"):
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", "/tmp/btt_jax_cache")
+    from brax_tracking_tpu.cache_guard import ensure_clean_cache
+
+    jax.config.update(
+        "jax_compilation_cache_dir", ensure_clean_cache("/tmp/btt_jax_cache")
+    )
     import jax.numpy as jnp
 
     os.environ["BENCH_ENVS"] = str(num_envs)

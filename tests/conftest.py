@@ -22,9 +22,15 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 
 import jax  # noqa: E402
 
+from brax_tracking_tpu.cache_guard import ensure_clean_cache  # noqa: E402
+
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 # Persistent compilation cache: the physics step takes minutes to compile on
-# CPU; cache hits make repeated test runs fast.
-jax.config.update("jax_compilation_cache_dir", "/tmp/btt_jax_cache")
+# CPU; cache hits make repeated test runs fast. ensure_clean_cache wipes it
+# automatically when a previous run crashed mid-compile (truncated entries
+# segfault jax's cache reader), so a bare `pytest tests/` self-heals.
+jax.config.update(
+    "jax_compilation_cache_dir", ensure_clean_cache("/tmp/btt_jax_cache")
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
