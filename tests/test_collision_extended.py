@@ -18,6 +18,7 @@ import pytest
 
 import brax_tracking_tpu.physics.spec as bspec
 import brax_tracking_tpu.physics.step as bstep
+from engine_harness import build_cached, jit_forward
 
 
 def _compare(xml, qpos=None, d_tol=1e-10, p_tol=1e-9, n_tol=1e-8,
@@ -29,8 +30,7 @@ def _compare(xml, qpos=None, d_tol=1e-10, p_tol=1e-9, n_tol=1e-8,
     simulation ever produces at dt=2 ms) get loose bounds — the oracle's
     deep-overlap case analysis and our iterative closest-feature scheme
     legitimately pick different (both defensible) push-out directions."""
-    mj = mujoco.MjModel.from_xml_string(xml)
-    model = bspec.model_from_mj(mj, dtype=jnp.float64)
+    mj, model, fwd = build_cached(xml)
     mjd = mujoco.MjData(mj)
     if qpos is not None:
         mjd.qpos[:] = qpos
@@ -38,7 +38,7 @@ def _compare(xml, qpos=None, d_tol=1e-10, p_tol=1e-9, n_tol=1e-8,
     d = bstep.make_data(model).replace(
         qpos=jnp.array(mjd.qpos), qvel=jnp.array(mjd.qvel)
     )
-    d = bstep.forward(model, d)
+    d = fwd(d)
     dist = np.asarray(d.contact_dist)
     pos = np.asarray(d.contact_pos)
     fr = np.asarray(d.contact_frame)
@@ -132,7 +132,7 @@ def test_capsule_box_random_deepest():
         mjd.qpos[:] = qp
         mujoco.mj_forward(mj, mjd)
         d = bstep.make_data(model).replace(qpos=jnp.array(mjd.qpos))
-        d = bstep.forward(model, d)
+        d = jit_forward(model)(d)
         dist = np.asarray(d.contact_dist)
         ours = dist[dist < 1e-9]
         if mjd.ncon == 0:
@@ -238,7 +238,7 @@ def test_capsule_cylinder_random_deepest():
         mjd.qpos[:] = qp
         mujoco.mj_forward(mj, mjd)
         d = bstep.make_data(model).replace(qpos=jnp.array(qp))
-        d = bstep.forward(model, d)
+        d = jit_forward(model)(d)
         dist = np.asarray(d.contact_dist)
         ours = dist[dist < 1e-9]
         if mjd.ncon == 0:
@@ -318,7 +318,7 @@ def _convex_compare(seed, ga, gb):
             else None
         )
         d = bstep.make_data(model).replace(qpos=jnp.array(qp))
-        d = bstep.forward(model, d)
+        d = jit_forward(model)(d)
         dist = np.asarray(d.contact_dist)
         ours = dist[dist < 1e-9]
         if omin is None:
@@ -357,6 +357,7 @@ def test_convex_pairs_random_deepest(seed, ga, gb):
         "jax.config.update('jax_platforms', 'cpu')\n"
         "jax.config.update('jax_enable_x64', True)\n"
         f"sys.path.insert(0, {repo!r})\n"
+        f"sys.path.insert(0, {os.path.dirname(here)!r})\n"
         f"spec = importlib.util.spec_from_file_location('tce', {here!r})\n"
         "m = importlib.util.module_from_spec(spec)\n"
         "spec.loader.exec_module(m)\n"
@@ -429,7 +430,7 @@ def test_box_box_random_deepest():
         mjd.qpos[:] = qp
         mujoco.mj_forward(mj, mjd)
         d = bstep.make_data(model).replace(qpos=jnp.array(qp))
-        d = bstep.forward(model, d)
+        d = jit_forward(model)(d)
         dist = np.asarray(d.contact_dist)
         ours = dist[dist < 1e-9]
         if mjd.ncon == 0:

@@ -40,7 +40,7 @@ def _batched_forward(model, mj, B, seed, drop=0.01):
         qvel=jnp.asarray(rng.uniform(-0.5, 0.5, (B, mj.nv))),
         ctrl=jnp.asarray(rng.uniform(-0.3, 0.3, (B, mj.nu))),
     )
-    return jax.vmap(lambda dd: bstep.forward(model, dd))(dB)
+    return jax.jit(jax.vmap(lambda dd: bstep.forward(model, dd)))(dB)
 
 
 def _run_both(model, dF, iters=6, ls_iters=6):
@@ -171,7 +171,7 @@ def test_fused_assembly_fly_elliptic():
         qvel=jnp.asarray(rng.uniform(-0.1, 0.1, (B, mj.nv))),
         ctrl=jnp.asarray(rng.uniform(-0.2, 0.2, (B, mj.nu))),
     )
-    dF = jax.vmap(lambda dd: bstep.forward(model, dd))(dB)
+    dF = jax.jit(jax.vmap(lambda dd: bstep.forward(model, dd)))(dB)
     layout = Cn.efc_layout(model)
     meta = S._cone_meta(model, layout)
     assert meta.ell_con.size > 0

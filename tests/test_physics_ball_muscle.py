@@ -16,6 +16,7 @@ import pytest
 
 import brax_tracking_tpu.physics.spec as bspec
 import brax_tracking_tpu.physics.step as bstep
+from engine_harness import jit_forward, jit_step
 import brax_tracking_tpu.physics.constraint as bcn
 
 
@@ -60,7 +61,7 @@ def run_forward(model, mjd):
         ctrl=jnp.array(mjd.ctrl),
         act=jnp.array(mjd.act),
     )
-    return bstep.forward(model, d)
+    return jit_forward(model)(d)
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])

@@ -11,6 +11,7 @@ import jax.numpy as jnp
 
 import brax_tracking_tpu.physics.spec as bspec
 import brax_tracking_tpu.physics.step as bstep
+from engine_harness import jit_forward
 from brax_tracking_tpu.physics import support
 
 
@@ -22,7 +23,7 @@ def _forces(xml, qpos=None):
     mujoco.mj_forward(mj, mjd)
     model = bspec.model_from_mj(mj, dtype=jnp.float64)
     d = bstep.make_data(model).replace(qpos=jnp.array(mjd.qpos))
-    d = bstep.forward(model, d)
+    d = jit_forward(model)(d)
     ours = np.asarray(support.contact_force(model, d))
     pos = np.asarray(d.contact_pos)
     act = np.asarray(support.active_contacts(model, d))
@@ -70,7 +71,7 @@ def test_world_frame_rotation():
     mujoco.mj_forward(mj, mjd)
     model = bspec.model_from_mj(mj, dtype=jnp.float64)
     d = bstep.make_data(model).replace(qpos=jnp.array(mjd.qpos))
-    d = bstep.forward(model, d)
+    d = jit_forward(model)(d)
     local = np.asarray(support.contact_force(model, d))
     world = np.asarray(support.contact_force(model, d, world_frame=True))
     fr = np.asarray(d.contact_frame)
