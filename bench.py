@@ -155,6 +155,11 @@ def _build_env():
 
         pair_xml = "/root/reference/assets/rodent_pair.xml"
         model = bspec.build_model(pair_xml, dtype=jnp.float32)
+        # solver=None keeps the XML defaults: rodent_pair.xml has no
+        # <option> line, so it compiles to MuJoCo's default solver =
+        # NEWTON, iterations=100, ls_iterations=50 (SURVEY.md §2a#15) —
+        # the parity-faithful configuration for this workload. The Newton
+        # path's while_loop exits after ~2-5 iterations per substep.
         return GenericSingleClip(
             reference_clip=synth_clip(model, walk=0.05),
             mjcf_path=pair_xml,
@@ -164,8 +169,7 @@ def _build_env():
             joint_names=["vertebra_1_extend"],
             strict_name_lookup=False,
             physics_steps_per_control_step=5,
-            iterations=4,
-            ls_iterations=4,
+            solver=None,
         )
     raise ValueError(f"unknown BENCH_WORKLOAD {WORKLOAD!r}")
 
@@ -174,7 +178,11 @@ def measure_ours() -> float:
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/btt_jax_cache")
+    from brax_tracking_tpu.cache_guard import ensure_clean_cache
+
+    jax.config.update(
+        "jax_compilation_cache_dir", ensure_clean_cache("/tmp/btt_jax_cache")
+    )
 
     env = _build_env()
 

@@ -106,8 +106,9 @@ def _eval_cost_force(m, meta, layout, pairs_friction, exists_row, exists_con, ja
     if meta.ell_con.size:
         slots = meta.ell_con
         rows = meta.ell_rows  # (nell, dim)
-        mu = pairs_friction[slots, 0]  # slide friction
-        fr = pairs_friction[slots, 1:3]  # tangent frictions
+        mu = pairs_friction[slots, 0]  # reference coefficient (slide1)
+        # tangent row i is scaled by friction[i-1]/mu: [slide1, slide2]/mu
+        fr = pairs_friction[slots, 0:2]
         n = jar[rows[:, 0]]
         # friction-scaled tangential components: u_i = jar_i * friction_i / mu
         u_t = jar[rows[:, 1:]] * fr / mu[:, None]
@@ -168,7 +169,7 @@ def _linesearch(m, meta, layout, friction, exists_row, exists_con, ctx, p, jar_p
             slots = meta.ell_con
             rows = meta.ell_rows
             mu = friction[slots, 0]
-            fr = friction[slots, 1:3]
+            fr = friction[slots, 0:2]  # tangent scale = [slide1, slide2]/mu
             n = jar[..., rows[:, 0]]
             np_ = jar_p[rows[:, 0]]
             scale = fr / mu[:, None]
@@ -248,12 +249,18 @@ def _linesearch(m, meta, layout, friction, exists_row, exists_con, ctx, p, jar_p
 
 
 def solve(m: M.Model, d: M.Data) -> M.Data:
-    """CG solve for qacc; writes qacc, qfrc_constraint, efc_force.
+    """Constraint solve for qacc; writes qacc, qfrc_constraint, efc_force.
 
-    Quad-only models (limits + pyramidal contacts) dispatch through a
-    custom_vmap: the env-batched TPU path runs the whole solve as one
-    Pallas megakernel (ops/cg.py); elliptic-cone models (fly) and
-    unbatched/CPU calls use the XLA implementation below.
+    Dispatch on ``m.opt.solver`` (static):
+    - NEWTON: exact-Hessian Newton with early exit (_solve_newton) — the
+      MuJoCo default; ``rodent_pair.xml`` has no <option> line so it
+      compiles to Newton/100 (SURVEY.md §2a#15).
+    - CG: quad-only models (limits + pyramidal contacts) dispatch through a
+      custom_vmap — the env-batched TPU path runs the whole solve as one
+      Pallas megakernel (ops/cg.py); elliptic-cone models (fly) and
+      unbatched/CPU calls use the XLA implementation below.
+    - PGS: not implemented — fails loudly rather than silently
+      substituting a different algorithm.
     """
     dtype = d.qpos.dtype
     layout = Cn.efc_layout(m)
@@ -264,6 +271,13 @@ def solve(m: M.Model, d: M.Data) -> M.Data:
             efc_force=jnp.zeros(0, dtype),
         )
     meta = _cone_meta(m, layout)
+    if m.opt.solver == M.SOLVER_NEWTON:
+        return _solve_newton(m, d, layout, meta)
+    if m.opt.solver != M.SOLVER_CG:
+        raise NotImplementedError(
+            f"solver {m.opt.solver} (PGS?) is not implemented; use "
+            "newton or cg (spec.set_solver_options)"
+        )
     if quad_kernel_eligible(m):
         return _solve_quad(m, d, layout)
     return _solve_xla(m, d, layout, meta)
@@ -277,6 +291,10 @@ def quad_kernel_eligible(m: M.Model) -> bool:
     the solve computes qacc_smooth and the Euler velocity update itself.
     """
     if m.nv == 0:
+        return False
+    if m.opt.solver != M.SOLVER_CG:
+        # Newton models dispatch to _solve_newton (and need qMinv /
+        # qacc_smooth materialized in forward(), which this flag gates)
         return False
     layout = Cn.efc_layout(m)
     if layout.nefc == 0:
@@ -412,7 +430,8 @@ def _solve_quad(m: M.Model, d: M.Data, layout: Cn.EfcLayout) -> M.Data:
         # (a pair can own several slots, e.g. a 4-point box manifold)
         cp = layout.con_pair[meta.ell_con]
         ell_mu = np.asarray(m.pairs.friction, np.float64)[cp, 0]
-        fr = np.asarray(m.pairs.friction, np.float64)[cp, 1:3]
+        # tangent scale = [slide1, slide2] / mu (row i uses friction[i-1])
+        fr = np.asarray(m.pairs.friction, np.float64)[cp, 0:2]
         ell_scale = fr / ell_mu[:, None]  # (nell, 2)
         quad_mask = np.zeros(layout.nefc, np.float64)
         quad_mask[meta.quad_rows] = 1.0
@@ -748,6 +767,206 @@ def _cg_arrays(qM, Jc, jsign, D, aref, exists, e_con, qfrc_smooth, qvel, *,
     else:
         qvel_next = qvel + dt * x
     return x, force, qfrc_constraint, a0, qvel_next
+
+
+def _small_spd_inverse(P: jax.Array) -> jax.Array:
+    """Inverse of a small SPD block via a fully-unrolled scalar sweep.
+
+    Every step is a rank-1 update on the whole block (vectorizes on the
+    VPU); no data-dependent control flow, so it stays cheap to compile
+    even when nested under while_loop/scan (where XLA:TPU's While-based
+    cholesky/triangular_solve expansions blow up compile time).
+    """
+    b = P.shape[-1]
+    A = P
+    for k in range(b):
+        dk = A[k, k]
+        colk = A[:, k] / dk
+        rowk = A[k, :]
+        A = A - colk[:, None] * rowk[None, :]
+        A = A.at[k, :].set(rowk / dk)
+        A = A.at[:, k].set(colk)
+        A = A.at[k, k].set(-1.0 / dk)
+    return -A
+
+
+def _sweep_spd_inverse(H: jax.Array, block: int = 16) -> jax.Array:
+    """Dense SPD inverse via block Gauss-Jordan (sweep operator).
+
+    Statically unrolled over ceil(n/block) pivot blocks; each sweep is a
+    small-block inverse plus full-width GEMMs — MXU work with zero While
+    ops, unlike jnp.linalg.cholesky + solve_triangular whose XLA:TPU
+    expansions multiply compile time ~100x when nested inside
+    while_loop(scan(...)) (measured on the Newton solver; see
+    _solve_newton). ~6x the flops of a Cholesky solve, but the Newton
+    Hessian solve is a tiny fraction of the step's compute and the
+    compile-time win is what makes Newton usable at all on this backend.
+
+    Padding (n -> nb*block) uses an identity tail, which sweeps to an
+    identity tail in the inverse and is sliced off.
+    """
+    n = H.shape[-1]
+    nb = -(-n // block)
+    npad = nb * block
+    if npad != n:
+        A = jnp.eye(npad, dtype=H.dtype).at[:n, :n].set(H)
+    else:
+        A = H
+    for kb in range(nb):
+        sl = slice(kb * block, (kb + 1) * block)
+        Pinv = _small_spd_inverse(A[sl, sl])
+        col = A[:, sl]  # (npad, block)
+        row = A[sl, :]  # (block, npad)
+        colP = col @ Pinv
+        A = A - colP @ row
+        A = A.at[sl, :].set(Pinv @ row)
+        A = A.at[:, sl].set(colP)
+        A = A.at[sl, sl].set(-Pinv)
+    Ainv = -A
+    return Ainv[:n, :n] if npad != n else Ainv
+
+
+def _solve_newton(m: M.Model, d: M.Data, layout: Cn.EfcLayout, meta: _ConeMeta) -> M.Data:
+    """Exact-Hessian Newton solve (mjSOL_NEWTON; engine_solver.c semantics).
+
+    Same convex primal cost as the CG path; the search direction is
+    H^-1 grad with H = M + J' W J where W holds D * active for quadratic
+    rows (limits, pyramidal / frictionless-normal contacts, bottom-zone
+    elliptic cones) plus dense dim x dim cone-Hessian blocks for
+    middle-zone elliptic contacts. The iteration runs under
+    ``lax.while_loop`` so converged problems exit after ~2-5 Newton steps
+    instead of burning a fixed iteration budget — under vmap the batch
+    steps until every env converges, which on TPU turns the 100-iteration
+    default (rodent_pair.xml) into a handful of large batched GEMM +
+    Cholesky ops on the MXU.
+
+    Validated against C-oracle qacc/qfrc_constraint in
+    tests/test_newton_solver.py.
+    """
+    dtype = d.qpos.dtype
+    nv = m.nv
+    friction = (
+        m.pairs.friction[layout.con_pair].astype(dtype)
+        if m.ncon
+        else jnp.zeros((0, 5), dtype)
+    )
+    exists_row = d.efc_pos < d.efc_margin
+    if m.ncon:
+        includemargin = m.pairs.margin[layout.con_pair].astype(dtype)
+        exists_con = d.contact_dist < includemargin
+    else:
+        exists_con = jnp.zeros((0,), bool)
+
+    Jd = Cn.dense_J(m, d)  # (nefc, nv)
+    quad_w_mask = np.zeros(layout.nefc, bool)
+    quad_w_mask[meta.quad_rows] = True
+    nell = int(meta.ell_con.size)
+    if nell:
+        # elliptic condim <= 3 (torsional/rolling friction rows are not
+        # assembled by constraint.py for the target models)
+        assert int(meta.ell_dim.max()) <= 3, "elliptic condim > 3"
+        ell_rows = np.maximum(meta.ell_rows, 0)  # (nell, 3)
+        mu = friction[meta.ell_con, 0]
+        # tangent scale = [slide1, slide2] / mu (row i uses friction[i-1])
+        sc = friction[meta.ell_con, 0:2] / mu[:, None]  # (nell, 2)
+
+    def hess(jar):
+        """H = M + J' W J at the current jar (active set + cone zones)."""
+        active = (jar < 0) & exists_row & jnp.asarray(quad_w_mask)
+        w = jnp.where(active, d.efc_D, 0.0)
+        if nell:
+            n = jar[ell_rows[:, 0]]
+            u = jar[ell_rows[:, 1:]] * sc
+            t = jnp.sqrt(jnp.maximum(u[:, 0] ** 2 + u[:, 1] ** 2,
+                                     M.MINVAL * M.MINVAL))
+            g_con = exists_con[meta.ell_con]
+            bottom = g_con & (mu * n + t <= 0)
+            middle = g_con & ~bottom & (n < mu * t)
+            # bottom zone: independent quadratics on the cone's rows
+            w = w.at[ell_rows].add(
+                jnp.where(bottom[:, None], d.efc_D[ell_rows], 0.0)
+            )
+            # middle zone: dense 3x3 cone Hessian
+            # B = dm h h' + c (diag(0, s^2) - ghat ghat'), h = [1, -mu g],
+            # ghat = [0, g], g_i = s_i u_i / t, c = -dm (n - mu t) mu / t
+            dn = d.efc_D[ell_rows[:, 0]]
+            dm = dn / jnp.maximum(1 + mu * mu, M.MINVAL)
+            nmt = n - mu * t
+            g = sc * u / t[:, None]  # (nell, 2)
+            h = jnp.concatenate(
+                [jnp.ones_like(mu)[:, None], -mu[:, None] * g], axis=-1
+            )  # (nell, 3)
+            ghat = jnp.concatenate([jnp.zeros_like(mu)[:, None], g], -1)
+            c = -dm * nmt * mu / t
+            s2 = jnp.concatenate(
+                [jnp.zeros_like(mu)[:, None], sc * sc], -1
+            )  # (nell, 3)
+            B = (
+                dm[:, None, None] * h[:, :, None] * h[:, None, :]
+                + c[:, None, None]
+                * (
+                    jnp.eye(3, dtype=dtype) * s2[:, None, :]
+                    - ghat[:, :, None] * ghat[:, None, :]
+                )
+            )
+            B = jnp.where(middle[:, None, None], B, 0.0)
+            Jb = Jd[ell_rows]  # (nell, 3, nv)
+            H_ell = jnp.einsum("cin,cij,cjm->nm", Jb, B, Jb)
+        else:
+            H_ell = jnp.zeros((nv, nv), dtype)
+        return d.qM + (Jd * w[:, None]).T @ Jd + H_ell
+
+    def eval_ctx(x, jar, mxa):
+        cost, force = _eval_cost_force(
+            m, meta, layout, friction, exists_row, exists_con, jar, d.efc_D
+        )
+        gauss = 0.5 * jnp.dot(x - d.qacc_smooth, mxa)
+        grad = mxa - Cn.jac_t_mul(m, d, force)
+        return _Ctx(x, jar, mxa, force, cost + gauss, grad, grad)
+
+    jar0 = Cn.jac_mul(m, d, d.qacc_smooth) - d.efc_aref
+    ctx0 = eval_ctx(d.qacc_smooth, jar0, jnp.zeros(nv, dtype))
+
+    tol = (
+        m.opt.tolerance.astype(dtype)
+        * m.opt.meaninertia.astype(dtype)
+        * max(1, nv)
+    )
+    iters = max(int(m.opt.iterations), 1)
+    done0 = jnp.linalg.norm(ctx0.grad) < tol
+
+    def cond(carry):
+        _, done, it = carry
+        return ~done & (it < iters)
+
+    def body(carry):
+        ctx, done, it = carry
+        H = hess(ctx.jar)
+        p = -(_sweep_spd_inverse(H) @ ctx.grad)
+        jar_p = Cn.jac_mul(m, d, p)
+        mp = d.qM @ p
+        alpha = _linesearch(
+            m, meta, layout, friction, exists_row, exists_con, ctx, p,
+            jar_p, mp, d,
+        )
+        new_ctx = eval_ctx(
+            ctx.x + alpha * p, ctx.jar + alpha * jar_p, ctx.mxa + alpha * mp
+        )
+        improvement = ctx.cost - new_ctx.cost
+        gradient = jnp.linalg.norm(new_ctx.grad)
+        step_done = (improvement < tol) | (gradient < tol)
+        ctx = jax.tree.map(
+            lambda new, old: jnp.where(done, old, new), new_ctx, ctx
+        )
+        return ctx, done | step_done, it + 1
+
+    ctx, _, _ = jax.lax.while_loop(
+        cond, body, (ctx0, done0, jnp.zeros((), jnp.int32))
+    )
+    qfrc_constraint = Cn.jac_t_mul(m, d, ctx.force)
+    return d.replace(
+        qacc=ctx.x, qfrc_constraint=qfrc_constraint, efc_force=ctx.force
+    )
 
 
 def _solve_xla(m: M.Model, d: M.Data, layout: Cn.EfcLayout, meta: _ConeMeta) -> M.Data:

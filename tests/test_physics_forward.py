@@ -17,6 +17,7 @@ import pytest
 
 import brax_tracking_tpu.physics.spec as bspec
 import brax_tracking_tpu.physics.step as bstep
+from engine_harness import jit_forward, jit_step
 import brax_tracking_tpu.physics.constraint as bcn
 
 RODENT = "/root/reference/assets/rodent.xml"
@@ -65,7 +66,7 @@ def run_forward(model, mjd):
         ctrl=jnp.array(mjd.ctrl),
         act=jnp.array(mjd.act),
     )
-    return bstep.forward(model, d)
+    return jit_forward(model)(d)
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
@@ -163,12 +164,13 @@ def test_fly_forward_parity_with_contacts(fly_free):
     # so qacc parity is asserted relative to the acceleration scale
     sm_scale = max(np.abs(mjd.qacc_smooth).max(), 1.0)
     assert np.abs(np.asarray(d.qacc_smooth) - mjd.qacc_smooth).max() < 3e-4 * sm_scale
-    # elliptic solver: near-stationary-point parity (flat cone-boundary
-    # valleys make exact point-matching ill-posed; see solver.py docstring)
+    # elliptic CG at 50 iterations: near-stationary-point parity (CG's
+    # iterate path differs from the oracle's Newton default; the Newton
+    # solver test holds 1e-5 on the same state)
     scale = max(np.abs(mjd.qacc).max(), 1.0)
-    assert np.abs(np.asarray(d.qacc) - mjd.qacc).max() < 0.03 * scale
+    assert np.abs(np.asarray(d.qacc) - mjd.qacc).max() < 1e-3 * scale
     fscale = max(np.abs(mjd.qfrc_constraint).max(), 1e-9)
-    assert np.abs(np.asarray(d.qfrc_constraint) - mjd.qfrc_constraint).max() < 0.02 * fscale
+    assert np.abs(np.asarray(d.qfrc_constraint) - mjd.qfrc_constraint).max() < 1e-3 * fscale
 
 
 def test_rodent_step_parity(rodent):
@@ -186,7 +188,7 @@ def test_rodent_step_parity(rodent):
     d = bstep.make_data(model).replace(
         qpos=jnp.array(qpos0), qvel=jnp.array(qvel0), ctrl=jnp.array(ctrl)
     )
-    d = bstep.step(model, d)
+    d = jit_step(model)(d)
     assert np.abs(np.asarray(d.qvel) - mjd.qvel).max() < 1e-4
     assert np.abs(np.asarray(d.qpos) - mjd.qpos).max() < 1e-7
     np.testing.assert_allclose(np.asarray(d.act), mjd.act, atol=1e-12)
