@@ -401,6 +401,33 @@ def collision(m: M.Model, d: M.Data) -> M.Data:
             pos = pos.at[slots].set(po[:, k])
             frame = frame.at[slots].set(fr)
 
+    # ---- plane-mesh: four deepest hull vertices (mjc_PlaneConvex) ----
+    pm = sel((t1 == M.GEOM_PLANE) & (t2 == M.GEOM_MESH))
+    if pm.size:
+        pn = _gz(d, g1[pm])
+        pp = d.geom_xpos[g1[pm]]
+        c = d.geom_xpos[g2[pm]]
+        R = _gmat(d, g2[pm])
+        mi = np.asarray(m.geom_meshidx)[np.asarray(g2[pm])]
+        verts = m.mesh_vert[mi].astype(dtype)  # (n, maxv, 3) geom frame
+        pts = c[:, None, :] + jnp.einsum("nij,nkj->nki", R, verts)
+        di_all = jnp.sum(pn[:, None, :] * (pts - pp[:, None, :]), axis=-1)
+        # padded slots duplicate vertex 0; push them past every real vertex
+        # so the 4-deepest selection never picks a duplicate
+        maxv = verts.shape[1]
+        valid = np.arange(maxv)[None, :] < np.asarray(m.mesh_vertnum)[mi][:, None]
+        di_all = jnp.where(jnp.asarray(valid), di_all, jnp.asarray(1e10, dtype))
+        idx = jnp.argsort(di_all, axis=-1)[:, :4]
+        di = jnp.take_along_axis(di_all, idx, axis=-1)
+        po = jnp.take_along_axis(pts, idx[..., None].repeat(3, -1), axis=1)
+        po = po - 0.5 * di[..., None] * pn[:, None, :]
+        fr = make_frame(pn)
+        for k in range(4):
+            slots = slot0[pm] + k
+            dist = dist.at[slots].set(di[:, k])
+            pos = pos.at[slots].set(po[:, k])
+            frame = frame.at[slots].set(fr)
+
     # ---- sphere-sphere ----
     ss = sel((t1 == M.GEOM_SPHERE) & (t2 == M.GEOM_SPHERE))
     if ss.size:
@@ -786,7 +813,13 @@ def collision(m: M.Model, d: M.Data) -> M.Data:
     # two convex bodies; grad h = the support witness point, so the
     # ascent needs only support functions. MuJoCo resolves these pairs
     # with MPR (mjc_Convex) and also emits one contact.
-    def _support(gtype, Rw, size, u):
+    def _mesh_verts(gidx):
+        """Hull vertex array (n, maxv, 3) for static geom ids (geom frame)."""
+        mi = np.asarray(m.geom_meshidx)[np.asarray(gidx)]
+        assert (mi >= 0).all(), "mesh pair on a geom with no hull data"
+        return m.mesh_vert[mi].astype(dtype)
+
+    def _support(gtype, Rw, size, u, verts=None):
         """(h(u), witness(u)) of the centered geom along world dirs u."""
         ul = jnp.einsum("nij,ni->nj", Rw, u)
         if gtype == M.GEOM_BOX:
@@ -804,6 +837,22 @@ def collision(m: M.Model, d: M.Data) -> M.Data:
             su = size * ul
             h = jnp.maximum(jnp.linalg.norm(su, axis=-1), M.MINVAL)
             w_l = size * su / h[:, None]
+        elif gtype == M.GEOM_SPHERE:
+            h = size[:, 0]
+            w_l = size[:, 0:1] * ul
+        elif gtype == M.GEOM_CAPSULE:
+            h = size[:, 0] + size[:, 1] * jnp.abs(ul[:, 2])
+            w_l = size[:, 0:1] * ul + jnp.concatenate(
+                [jnp.zeros_like(ul[:, :2]), (size[:, 1] * _sgn(ul[:, 2]))[:, None]],
+                axis=-1,
+            )
+        elif gtype == M.GEOM_MESH:
+            # hull support: max over vertices (padding duplicates vertex 0,
+            # which never changes a max)
+            dots = jnp.einsum("nkj,nj->nk", verts, ul)
+            h = jnp.max(dots, -1)
+            k = jnp.argmax(dots, -1)
+            w_l = jnp.take_along_axis(verts, k[:, None, None], axis=1)[:, 0]
         else:  # pragma: no cover
             raise NotImplementedError(gtype)
         return h, jnp.einsum("nij,nj->ni", Rw, w_l)
@@ -813,6 +862,8 @@ def collision(m: M.Model, d: M.Data) -> M.Data:
         R1w, R2w = _gmat(d, g1[idx]), _gmat(d, g2[idx])
         s1w = m.geom_size[g1[idx]].astype(dtype)
         s2w = m.geom_size[g2[idx]].astype(dtype)
+        v1 = _mesh_verts(g1[idx]) if ta == M.GEOM_MESH else None
+        v2 = _mesh_verts(g2[idx]) if tb == M.GEOM_MESH else None
         dc = c2w - c1w
 
         def _norm(v):
@@ -822,8 +873,8 @@ def collision(m: M.Model, d: M.Data) -> M.Data:
 
         def ascend(k, carry):
             u, step = carry
-            _, w1 = _support(ta, R1w, s1w, u)
-            _, w2 = _support(tb, R2w, s2w, -u)
+            _, w1 = _support(ta, R1w, s1w, u, v1)
+            _, w2 = _support(tb, R2w, s2w, -u, v2)
             grad = dc - w1 + w2  # note: h2 along -u => witness -w2(-u)
             grad = grad - u * jnp.sum(u * grad, -1, keepdims=True)
             return _norm(u + step * _norm(grad)), step * 0.93
@@ -831,8 +882,8 @@ def collision(m: M.Model, d: M.Data) -> M.Data:
         u, _ = jax.lax.fori_loop(
             0, 60, ascend, (_norm(dc), jnp.asarray(0.5, dtype))
         )
-        h1, w1 = _support(ta, R1w, s1w, u)
-        h2, w2 = _support(tb, R2w, s2w, -u)
+        h1, w1 = _support(ta, R1w, s1w, u, v1)
+        h2, w2 = _support(tb, R2w, s2w, -u, v2)
         di = jnp.sum(u * dc, -1) - h1 - h2
         x1 = c1w + w1
         x2 = c2w + w2
@@ -844,6 +895,12 @@ def collision(m: M.Model, d: M.Data) -> M.Data:
         (M.GEOM_ELLIPSOID, M.GEOM_BOX),
         (M.GEOM_CYLINDER, M.GEOM_CYLINDER),
         (M.GEOM_CYLINDER, M.GEOM_BOX),
+        (M.GEOM_SPHERE, M.GEOM_MESH),
+        (M.GEOM_CAPSULE, M.GEOM_MESH),
+        (M.GEOM_ELLIPSOID, M.GEOM_MESH),
+        (M.GEOM_CYLINDER, M.GEOM_MESH),
+        (M.GEOM_BOX, M.GEOM_MESH),
+        (M.GEOM_MESH, M.GEOM_MESH),
     ):
         cv = sel((t1 == ta) & (t2 == tb))
         if cv.size:

@@ -175,6 +175,9 @@ class Model:
     plan: Any = _static(default=None)  # physics.plan.Plan (level-vectorized execution)
     body_tree_levels: Any = _static(default=None)  # tuple of np arrays, BFS levels (excl. world)
     names: Any = _static(default=None)  # dict: {'body': [...], 'joint': [...], ...}
+    # mesh collision (convex hull support data; spec._build_meshes)
+    geom_meshidx: Any = _static(default=None)  # (ngeom,) int32 into mesh_vert, -1 = not a mesh
+    mesh_vertnum: Any = _static(default=None)  # (nmeshused,) int32 valid verts
 
     # ------- traced parameters (jnp leaves) -------
     qpos0: jax.Array = None
@@ -217,6 +220,7 @@ class Model:
     actuator_gear: jax.Array = None  # (nu, 6)
     actuator_lengthrange: jax.Array = None  # (nu, 2) muscle operating range
     actuator_acc0: jax.Array = None  # (nu,) norm of unit-force qacc (muscle)
+    mesh_vert: jax.Array = None  # (nmeshused, maxvert, 3) hull verts, geom frame
     pairs: ContactPairs = None
 
     @property

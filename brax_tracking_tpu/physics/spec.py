@@ -212,7 +212,59 @@ _PAIR_POINTS = {
     (M.GEOM_ELLIPSOID, M.GEOM_BOX): 1,
     (M.GEOM_CYLINDER, M.GEOM_CYLINDER): 1,
     (M.GEOM_CYLINDER, M.GEOM_BOX): 1,
+    # convex meshes: support-function pairs (hull vertex max = support);
+    # plane-mesh emits a 4-deepest-vertex manifold like plane-box
+    (M.GEOM_PLANE, M.GEOM_MESH): 4,
+    (M.GEOM_SPHERE, M.GEOM_MESH): 1,
+    (M.GEOM_CAPSULE, M.GEOM_MESH): 1,
+    (M.GEOM_ELLIPSOID, M.GEOM_MESH): 1,
+    (M.GEOM_CYLINDER, M.GEOM_MESH): 1,
+    (M.GEOM_BOX, M.GEOM_MESH): 1,
+    (M.GEOM_MESH, M.GEOM_MESH): 1,
 }
+
+
+def _build_meshes(m: mujoco.MjModel, dtype):
+    """Convex-hull support data for mesh geoms (static layout).
+
+    Returns (geom_meshidx, mesh_vertnum, mesh_vert): per-geom index into a
+    padded (nmeshused, maxvert, 3) vertex array holding each colliding
+    mesh's convex-hull vertices in the GEOM frame (MuJoCo bakes the
+    mesh->geom transform into the compiled vertices; mjc_Convex composes
+    them with geom_xpos/xmat exactly as collision.py does). Padding
+    duplicates vertex 0, which is exact for support maxima; the valid
+    count is kept for manifold selection (plane-mesh top-4).
+    """
+    geom_meshidx = np.full(m.ngeom, -1, np.int32)
+    mesh_ids = sorted(
+        {
+            int(m.geom_dataid[g])
+            for g in range(m.ngeom)
+            if m.geom_type[g] == M.GEOM_MESH
+            and (m.geom_contype[g] or m.geom_conaffinity[g])
+        }
+    )
+    if not mesh_ids:
+        return geom_meshidx, np.zeros(0, np.int32), np.zeros((0, 0, 3))
+    verts = []
+    for did in mesh_ids:
+        adr, num = int(m.mesh_vertadr[did]), int(m.mesh_vertnum[did])
+        v = np.asarray(m.mesh_vert[adr : adr + num], np.float64)
+        # MuJoCo precomputes the hull (mesh_graph); using every vertex is
+        # equivalent for support functions (max over hull == max over set)
+        verts.append(v)
+    maxv = max(len(v) for v in verts)
+    packed = np.stack(
+        [np.concatenate([v, np.tile(v[:1], (maxv - len(v), 1))]) for v in verts]
+    )
+    for g in range(m.ngeom):
+        if m.geom_type[g] == M.GEOM_MESH and int(m.geom_dataid[g]) in mesh_ids:
+            geom_meshidx[g] = mesh_ids.index(int(m.geom_dataid[g]))
+    return (
+        geom_meshidx,
+        np.array([len(v) for v in verts], np.int32),
+        packed,
+    )
 
 
 def _candidate_pairs(m: mujoco.MjModel):
@@ -545,6 +597,16 @@ def model_from_mj(m: mujoco.MjModel, dtype=jnp.float32) -> M.Model:
         actuator_lengthrange=j(m.actuator_lengthrange),
         actuator_acc0=j(m.actuator_acc0),
         pairs=_build_pairs(m, dtype),
+        **_mesh_fields(m, dtype),
+    )
+
+
+def _mesh_fields(m: mujoco.MjModel, dtype):
+    geom_meshidx, mesh_vertnum, mesh_vert = _build_meshes(m, dtype)
+    return dict(
+        geom_meshidx=geom_meshidx,
+        mesh_vertnum=mesh_vertnum,
+        mesh_vert=jnp.asarray(mesh_vert, dtype),
     )
 
 
