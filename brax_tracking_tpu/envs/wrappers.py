@@ -131,52 +131,58 @@ class DomainRandomizationVmapWrapper(Wrapper):
 class AutoResetWrapperTracking(Wrapper):
     """Restores the reset-time snapshot where done (cheap pseudo-reset).
 
-    Same semantics as the reference (custom_wrappers.py:43-80): the *initial*
-    state is cached in info and swapped back in for done envs, including the
-    tracking clock (cur_frame / steps_taken_cur_frame).
+    Behavioral parity with the reference (custom_wrappers.py:43-80): done
+    envs are rolled back to their *initial* (reset-time) state — pipeline
+    state, observation, and the tracking clock — rather than re-sampled.
+    The snapshot lives in ``info["autoreset_snapshot"]`` as one nested
+    pytree and the rollback is a single masked merge over it.
     """
+
+    # tracking-clock info fields snapshotted when the env provides them
+    _CLOCK_KEYS = ("cur_frame", "steps_taken_cur_frame")
 
     def reset(self, rng: jax.Array) -> State:
         state = self.env.reset(rng)
-        state.info["first_pipeline_state"] = state.pipeline_state
-        state.info["first_obs"] = state.obs
-        # Tracking clock fields exist on tracking envs; plain envs skip them.
-        if "cur_frame" in state.info:
-            state.info["first_cur_frame"] = state.info["cur_frame"]
-        if "steps_taken_cur_frame" in state.info:
-            state.info["first_steps_taken_cur_frame"] = state.info[
-                "steps_taken_cur_frame"
-            ]
+        snap = {"pipeline_state": state.pipeline_state, "obs": state.obs}
+        for k in self._CLOCK_KEYS:
+            if k in state.info:
+                snap[k] = state.info[k]
+        state.info["autoreset_snapshot"] = snap
         return state
 
     def step(self, state: State, action: jax.Array) -> State:
+        # a finished env re-enters the pool: zero its episode clock and
+        # clear the flag before stepping
         if "steps" in state.info:
-            steps = state.info["steps"]
-            steps = jnp.where(state.done, jnp.zeros_like(steps), steps)
-            state.info.update(steps=steps)
-        state = state.replace(done=jnp.zeros_like(state.done))
-        state = self.env.step(state, action)
+            state.info["steps"] = jnp.where(
+                state.done.astype(bool),
+                jnp.zeros_like(state.info["steps"]),
+                state.info["steps"],
+            )
+        state = self.env.step(state.replace(done=jnp.zeros_like(state.done)), action)
 
-        def where_done(x, y):
-            done = state.done
-            if done.shape:
-                done = jnp.reshape(done, [x.shape[0]] + [1] * (len(x.shape) - 1))
-            return jnp.where(done, x, y)
+        snap = state.info["autoreset_snapshot"]
+        fresh = {
+            k: (
+                state.pipeline_state
+                if k == "pipeline_state"
+                else state.obs if k == "obs" else state.info[k]
+            )
+            for k in snap
+        }
+        rollback = state.done.astype(bool)
 
-        pipeline_state = jax.tree.map(
-            where_done, state.info["first_pipeline_state"], state.pipeline_state
+        def merge(initial, current):
+            mask = rollback[(...,) + (None,) * (current.ndim - rollback.ndim)]
+            return jnp.where(mask, initial, current)
+
+        merged = jax.tree.map(merge, snap, fresh)
+        for k in self._CLOCK_KEYS:
+            if k in merged:
+                state.info[k] = merged[k]
+        return state.replace(
+            pipeline_state=merged["pipeline_state"], obs=merged["obs"]
         )
-        obs = where_done(state.info["first_obs"], state.obs)
-        if "first_cur_frame" in state.info:
-            state.info["cur_frame"] = where_done(
-                state.info["first_cur_frame"], state.info["cur_frame"]
-            )
-        if "first_steps_taken_cur_frame" in state.info:
-            state.info["steps_taken_cur_frame"] = where_done(
-                state.info["first_steps_taken_cur_frame"],
-                state.info["steps_taken_cur_frame"],
-            )
-        return state.replace(pipeline_state=pipeline_state, obs=obs)
 
 
 class RenderRolloutWrapperTracking(Wrapper):
