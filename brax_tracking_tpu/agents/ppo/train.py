@@ -495,7 +495,9 @@ def train(
             training_metrics={},
         )
         _logger.info("initial eval: %s", metrics)
-        progress_fn(0, metrics)
+        # key by the restored step count so a resumed run's pre-training
+        # eval lands at the right x on the learning curve (0 on fresh runs)
+        progress_fn(int(training_state.env_steps), metrics)
 
     training_metrics = {}
     current_step = 0

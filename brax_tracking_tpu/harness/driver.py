@@ -103,37 +103,60 @@ def _eval_callback(cfg: Dict, env, logger, model_path: str, fig_dir: str = ""):
         (cfg["dataset"]["clip_length"] - cfg["dataset"]["ref_traj_length"])
         * env._steps_for_cur_frame
     )
+    dist_keys = ("summed_pos_distance", "quat_distance", "joint_distance")
+
+    # The whole deterministic eval rollout runs as ONE device program: a
+    # host loop of n_steps jit_step calls pays per-call dispatch latency
+    # (hundreds of ms over an axon tunnel), which dominated epoch time.
+    _rollout_fn = None
+
+    def _compile_rollout(make_policy):
+        def _roll(params, rng):
+            policy = make_policy(params, deterministic=True)
+            state0 = rollout_env.reset(rng)
+
+            def body(carry, _):
+                state, rng = carry
+                rng, key = jax.random.split(rng)
+                action, _ = policy(state.obs, key)
+                state = rollout_env.step(state, action)
+                out = (
+                    state.metrics,
+                    {
+                        k: state.info.get(k, jnp.full((), jnp.nan))
+                        for k in dist_keys
+                    },
+                    state.pipeline_state.xpos[env._thorax_idx, 2],
+                    state.pipeline_state.qpos,
+                )
+                return (state, rng), out
+
+            _, outs = jax.lax.scan(body, (state0, rng), (), length=n_steps)
+            first = (
+                state0.pipeline_state.xpos[env._thorax_idx, 2],
+                state0.pipeline_state.qpos,
+            )
+            return outs, first
+
+        return jax.jit(_roll)
 
     def policy_params_fn(num_steps, make_policy, params):
+        nonlocal _rollout_fn
         os.makedirs(model_path, exist_ok=True)
         checkpoint.save_params(os.path.join(model_path, str(num_steps)), params)
-        policy = make_policy(params, deterministic=True)
-        jit_step = jax.jit(rollout_env.step)
-        jit_policy = jax.jit(policy)
-        rng = jax.random.PRNGKey(0)
-        state = jax.jit(rollout_env.reset)(rng)
-        rollout = [state]
-        for _ in range(n_steps):
-            rng, key = jax.random.split(rng)
-            action, _ = jit_policy(state.obs, key)
-            state = jit_step(state, action)
-            rollout.append(state)
+        if _rollout_fn is None:
+            _rollout_fn = _compile_rollout(make_policy)
+        (metrics_seq, dists_seq, thorax_seq, qpos_seq), (thorax0, qpos0) = (
+            jax.device_get(_rollout_fn(params, jax.random.PRNGKey(0)))
+        )
         # per-frame reward stats (reference logs full tables; we log the
         # summary curve stats + dump the table to disk)
-        table = {
-            k: np.asarray([float(s.metrics[k]) for s in rollout[1:]])
-            for k in rollout[1].metrics
-        }
+        table = {k: np.asarray(v) for k, v in metrics_seq.items()}
         stats = {}
         for k, v in table.items():
             stats[f"rollout/{k}_mean"] = float(np.nanmean(v))
             stats[f"rollout/{k}_min"] = float(np.nanmin(v))
-        distances = {
-            k: np.asarray(
-                [float(s.info.get(k, np.nan)) for s in rollout[1:]]
-            )
-            for k in ("summed_pos_distance", "quat_distance", "joint_distance")
-        }
+        distances = {k: np.asarray(v) for k, v in dists_seq.items()}
         stats["rollout/summed_pos_distance_mean"] = float(
             np.nanmean(distances["summed_pos_distance"])
         )
@@ -144,12 +167,7 @@ def _eval_callback(cfg: Dict, env, logger, model_path: str, fig_dir: str = ""):
         # per-frame deep-dive artifacts (reference main.py:154-258 logs these
         # as wandb line-plot tables; here: CSV + PNGs under fig_dir)
         try:
-            thorax = np.asarray(
-                [
-                    np.asarray(s.pipeline_state.xpos)[env._thorax_idx, 2]
-                    for s in rollout
-                ]
-            )
+            thorax = np.concatenate([[thorax0], np.asarray(thorax_seq)])
             ref_bp = getattr(env._ref_traj, "body_positions", None)
             ref_thorax = None
             if ref_bp is not None:
@@ -159,7 +177,7 @@ def _eval_callback(cfg: Dict, env, logger, model_path: str, fig_dir: str = ""):
                 # one entry per control step to share the x axis
                 frames = np.minimum(
                     (
-                        np.arange(len(rollout)) / max(env._steps_for_cur_frame, 1)
+                        np.arange(len(thorax)) / max(env._steps_for_cur_frame, 1)
                     ).astype(int),
                     bp.shape[0] - 1,
                 )
@@ -178,8 +196,8 @@ def _eval_callback(cfg: Dict, env, logger, model_path: str, fig_dir: str = ""):
             try:
                 from brax_tracking_tpu.harness import render as R
 
-                qposes_roll = np.stack(
-                    [np.asarray(s.pipeline_state.qpos) for s in rollout]
+                qposes_roll = np.concatenate(
+                    [qpos0[None], np.asarray(qpos_seq)]
                 )
                 video_path = os.path.join(model_path, f"rollout_{num_steps}.mp4")
                 R.render_rollout_vs_reference(
@@ -249,11 +267,15 @@ def main(argv=None) -> Dict:
     import jax
 
     # persistent executable cache: the reference-scale trainer graph takes
-    # minutes to compile cold; restarts and repeat runs hit the cache
+    # minutes to compile cold; restarts and repeat runs hit the cache.
+    # ensure_clean_cache auto-wipes it when a previous run crashed
+    # mid-compile (truncated entries segfault jax's cache reader).
     cache_dir = cfg.get("compilation_cache_dir", "~/.cache/btt_jax_cache")
     if cache_dir:
+        from brax_tracking_tpu.cache_guard import ensure_clean_cache
+
         jax.config.update(
-            "jax_compilation_cache_dir", os.path.expanduser(cache_dir)
+            "jax_compilation_cache_dir", ensure_clean_cache(cache_dir)
         )
     if os.environ.get("BTT_DEBUG_NANS") == "1" or cfg.get("debug_nans"):
         # fail fast at the op that produced the first NaN (SURVEY §5:
