@@ -45,7 +45,15 @@ def _lookup(model: M.Model, objtype: str, names: Sequence[str], strict: bool):
 
 
 class TrackingEnv(PipelineEnv):
-    """Single-clip tracking MDP over a compiled model."""
+    """Single-clip tracking MDP over a compiled model.
+
+    ``appendage_names`` is accepted for config/signature parity but unused,
+    exactly like the reference: its envs bind ``end_eff_names`` and leave
+    ``appendage_names`` dead (fruitfly.py:101-102 "using this for appendage
+    for now bc im to lazy to rename"). Kept so reference dataset configs
+    load unchanged; the end-effector reward/obs terms come from
+    ``end_eff_names``.
+    """
 
     def __init__(
         self,

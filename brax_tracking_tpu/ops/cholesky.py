@@ -238,11 +238,11 @@ def sweep_invert_ref(nv: int, s_ref, block: int = _SUBLANE):
         R = s_ref[pl.ds(kb, block)]  # (block, n, LANE) row panel
         C = s_ref[:, pl.ds(kb, block)]  # (n, block, LANE) col panel
         A = jax.lax.slice_in_dim(R, kb, kb + block, axis=1)  # (block, block, L)
+        ii = jax.lax.broadcasted_iota(jnp.int32, (block, block, 1), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (block, block, 1), 1)
         if b < block:
             # extend the pivot block with the identity and mask the panels:
             # padded pivots then sweep as exact no-ops
-            ii = jax.lax.broadcasted_iota(jnp.int32, (block, block, 1), 0)
-            jj = jax.lax.broadcasted_iota(jnp.int32, (block, block, 1), 1)
             keep = (ii < b) & (jj < b)
             eye = (ii == jj).astype(A.dtype)
             A = jnp.where(keep, A, jnp.where(ii == jj, eye, 0.0))
@@ -252,8 +252,6 @@ def sweep_invert_ref(nv: int, s_ref, block: int = _SUBLANE):
         # row/col/diag writes use iota masks, NOT .at[].set: value-updates
         # at integer indices lower to lax.scatter, which Pallas TPU (Mosaic)
         # cannot lower — masked selects vectorize fine on the VPU
-        ii = jax.lax.broadcasted_iota(jnp.int32, (block, block, 1), 0)
-        jj = jax.lax.broadcasted_iota(jnp.int32, (block, block, 1), 1)
         Ai = A
         for k in range(block):
             rowk = Ai[k]  # (block, LANE)

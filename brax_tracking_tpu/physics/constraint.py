@@ -8,7 +8,9 @@ compile once).
 
 Semantics follow MuJoCo's computation spec (solref/solimp -> KBI, pyramidal
 cone rows mu*Jn +- Jt, elliptic cone rows [Jn; Jt]); coefficients are
-validated row-by-row against the C oracle in tests/test_physics_constraint.py.
+validated row-by-row against the C oracle in
+tests/test_physics_forward.py::test_rodent_efc_rows_parity (plus the
+elliptic/extended-pair coverage in tests/test_collision_extended.py).
 """
 
 from __future__ import annotations

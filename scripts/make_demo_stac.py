@@ -1,4 +1,4 @@
-"""Generate a realistic stac-format mocap file for the rodent.
+"""Generate a realistic stac-format mocap file for the rodent or fly.
 
 No real stac-fitted mocap ships in this image, so this rolls the MuJoCo C
 oracle (the same engine the reference's stac pipeline fits against) under
@@ -8,8 +8,10 @@ reference's exact .h5 layout (preprocessing/preprocess.py:66-74 reads
 contacts, joint coupling and non-smooth velocities, so training against it
 exercises the same feature/velocity extraction paths real mocap would.
 
-Usage: python scripts/make_demo_stac.py [out.h5] [n_frames]
-Defaults: data/Rodent/transform_snips.h5, 250 frames @ 50 Hz.
+Usage: python scripts/make_demo_stac.py [out.h5] [n_frames] [rodent|fly]
+Defaults: data/Rodent/transform_snips.h5, 250 frames @ 50 Hz, rodent.
+``fly`` rolls the TETHERED fly (free joint stripped, like FlyTethered)
+so the clip matches the reference's transform_tethered layout.
 """
 
 from __future__ import annotations
@@ -26,6 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> str:
     out = sys.argv[1] if len(sys.argv) > 1 else "data/Rodent/transform_snips.h5"
     n_frames = int(sys.argv[2]) if len(sys.argv) > 2 else 250
+    which = sys.argv[3] if len(sys.argv) > 3 else "rodent"
 
     import jax
 
@@ -37,22 +40,35 @@ def main() -> str:
     import brax_tracking_tpu.physics.spec as bspec
     from brax_tracking_tpu.data import h5io
 
-    # the env's exact model: subtree-rescaled 0.9 like the reference
-    # (rodent.py:51-65, preprocess.py:80-89)
-    _, mj_model = bspec.build_model(
-        "/root/reference/assets/rodent.xml",
-        dtype=jnp.float32,
-        scale_factor=0.9,
-        return_mj=True,
-    )
-    mjd = mujoco.MjData(mj_model)
-    mujoco.mj_resetData(mj_model, mjd)
-    mjd.qpos[2] += 0.005
+    if which == "fly":
+        # tethered fly: free joint stripped, like FlyTethered's model
+        _, mj_model = bspec.build_model(
+            "/root/reference/assets/fruitfly/fruitfly_force_fast.xml",
+            dtype=jnp.float32,
+            free_jnt=False,
+            return_mj=True,
+        )
+        mjd = mujoco.MjData(mj_model)
+        mujoco.mj_resetData(mj_model, mjd)
+    else:
+        # the env's exact model: subtree-rescaled 0.9 like the reference
+        # (rodent.py:51-65, preprocess.py:80-89)
+        _, mj_model = bspec.build_model(
+            "/root/reference/assets/rodent.xml",
+            dtype=jnp.float32,
+            scale_factor=0.9,
+            return_mj=True,
+        )
+        mjd = mujoco.MjData(mj_model)
+        mujoco.mj_resetData(mj_model, mjd)
+        mjd.qpos[2] += 0.005
 
     rng = np.random.RandomState(17)
     phase = rng.uniform(0, 2 * np.pi, mj_model.nu)
     freq = rng.uniform(0.5, 2.5, mj_model.nu)  # slow, gait-scale motion
     amp = rng.uniform(0.15, 0.45, mj_model.nu)
+    if which == "fly":
+        amp *= 0.5  # milligram-scale limbs: keep motion gait-scale
 
     mocap_dt = 0.02  # 50 Hz, configs/dataset/rodent.yaml mocap_hz
     substeps = max(int(round(mocap_dt / mj_model.opt.timestep)), 1)
