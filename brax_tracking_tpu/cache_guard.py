@@ -20,6 +20,7 @@ from __future__ import annotations
 import atexit
 import os
 import shutil
+import signal
 
 _INUSE = ".inuse"
 
@@ -78,4 +79,40 @@ def ensure_clean_cache(cache_dir: str) -> str:
             pass
 
     atexit.register(_release)
+
+    # SIGTERM (e.g. `timeout` expiring on a bench/test run) skips atexit, so
+    # without this every timed-out run would read as a crash and wipe the
+    # whole cache. jax's LRUCache.put is a plain write_bytes (not
+    # temp+rename), so the entry being written WHEN the signal lands can be
+    # torn — the handler unlinks entries touched in the last few seconds
+    # (an in-progress write keeps going into the unlinked inode, harmlessly)
+    # and only then releases the marker. SIGKILL/SIGSEGV still (correctly)
+    # leave the marker and trigger a full wipe on the next run.
+    prev = signal.getsignal(signal.SIGTERM)
+    if prev is signal.SIG_DFL:
+
+        def _on_term(signum, frame, grace_s=10.0):
+            import time
+
+            cutoff = time.time() - grace_s
+            try:
+                for entry in os.listdir(cache_dir):
+                    if entry == _INUSE:
+                        continue
+                    path = os.path.join(cache_dir, entry)
+                    try:
+                        if os.path.isfile(path) and os.path.getmtime(path) > cutoff:
+                            os.unlink(path)
+                    except OSError:
+                        pass
+            except OSError:
+                pass
+            _release()
+            signal.signal(signal.SIGTERM, signal.SIG_DFL)
+            os.kill(os.getpid(), signal.SIGTERM)
+
+        try:
+            signal.signal(signal.SIGTERM, _on_term)
+        except ValueError:  # not the main thread; atexit still covers exits
+            pass
     return cache_dir
