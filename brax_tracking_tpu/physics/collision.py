@@ -44,6 +44,50 @@ def make_frame(normal: jax.Array) -> jax.Array:
     return jnp.stack([n, t1, t2], axis=-2)
 
 
+def _point_tri_closest(
+    p: jax.Array, a: jax.Array, b: jax.Array, c: jax.Array
+) -> jax.Array:
+    """Closest point on triangles (a, b, c) to points p, all (..., 3).
+
+    Ericson, Real-Time Collision Detection §5.1.5, restated as a where
+    cascade (no data-dependent branches; vectorizes on the VPU over the
+    hfield patch's triangle set)."""
+
+    def dot(u, v):
+        return jnp.sum(u * v, axis=-1)
+
+    eps = M.MINVAL
+    ab, ac, ap = b - a, c - a, p - a
+    d1, d2 = dot(ab, ap), dot(ac, ap)
+    bp = p - b
+    d3, d4 = dot(ab, bp), dot(ac, bp)
+    cp = p - c
+    d5, d6 = dot(ab, cp), dot(ac, cp)
+    va = d3 * d6 - d5 * d4
+    vb = d5 * d2 - d1 * d6
+    vc = d1 * d4 - d3 * d2
+    # candidate closest points per region (guarded divides)
+    v_ab = d1 / jnp.where(jnp.abs(d1 - d3) > eps, d1 - d3, 1.0)
+    q_ab = a + v_ab[..., None] * ab
+    w_ac = d2 / jnp.where(jnp.abs(d2 - d6) > eps, d2 - d6, 1.0)
+    q_ac = a + w_ac[..., None] * ac
+    den_bc = (d4 - d3) + (d5 - d6)
+    w_bc = (d4 - d3) / jnp.where(jnp.abs(den_bc) > eps, den_bc, 1.0)
+    q_bc = b + w_bc[..., None] * (c - b)
+    den_f = va + vb + vc
+    inv_f = 1.0 / jnp.where(jnp.abs(den_f) > eps, den_f, 1.0)
+    q_face = a + (vb * inv_f)[..., None] * ab + (vc * inv_f)[..., None] * ac
+    # region selection, highest priority last (vertex > edge > face)
+    q = q_face
+    q = jnp.where(((va <= 0) & ((d4 - d3) >= 0) & ((d5 - d6) >= 0))[..., None], q_bc, q)
+    q = jnp.where(((vb <= 0) & (d2 >= 0) & (d6 <= 0))[..., None], q_ac, q)
+    q = jnp.where(((vc <= 0) & (d1 >= 0) & (d3 <= 0))[..., None], q_ab, q)
+    q = jnp.where(((d6 >= 0) & (d5 <= d6))[..., None], c, q)
+    q = jnp.where(((d3 >= 0) & (d4 <= d3))[..., None], b, q)
+    q = jnp.where(((d1 <= 0) & (d2 <= 0))[..., None], a, q)
+    return q
+
+
 def _plane_sphere_point(
     pn: jax.Array, pp: jax.Array, center: jax.Array, radius
 ) -> Tuple[jax.Array, jax.Array]:
@@ -426,6 +470,100 @@ def collision(m: M.Model, d: M.Data) -> M.Data:
             slots = slot0[pm] + k
             dist = dist.at[slots].set(di[:, k])
             pos = pos.at[slots].set(po[:, k])
+            frame = frame.at[slots].set(fr)
+
+    # ---- height fields: K x K patch, deepest-triangle sphere probes ----
+    def _hfield_probe(idx_sel, centers_w, radius):
+        """One sphere probe per pair row against its height field: gathers
+        the static K x K elevation patch under the probe, tests all
+        2(K-1)^2 surface triangles (mjc_ConvexHField's prism triangulation)
+        with an exact point-triangle closest point, and returns the deepest
+        (dist, world pos, world frame). All shapes static; the patch
+        gather is one dynamic_slice per probe."""
+        K = m.hfield_patch
+        gh = np.asarray(m.geom_hfieldidx)[np.asarray(g1[idx_sel])]
+        nr = np.asarray(m.hfield_nrowcol)[gh, 0]  # static per-probe
+        nc = np.asarray(m.hfield_nrowcol)[gh, 1]
+        Rh = _gmat(d, g1[idx_sel])
+        ph = d.geom_xpos[g1[idx_sel]]
+        c = jnp.einsum("nij,ni->nj", Rh, centers_w - ph)  # hfield frame
+        sz = m.hfield_size[jnp.asarray(gh)].astype(dtype)  # (n, 4)
+        dx = 2.0 * sz[:, 0] / jnp.asarray(np.maximum(nc - 1, 1), dtype)
+        dy = 2.0 * sz[:, 1] / jnp.asarray(np.maximum(nr - 1, 1), dtype)
+        j0 = jnp.clip(
+            jnp.floor((c[:, 0] + sz[:, 0]) / dx).astype(jnp.int32) - (K - 1) // 2,
+            0,
+            jnp.asarray(nc - K, jnp.int32),
+        )
+        i0 = jnp.clip(
+            jnp.floor((c[:, 1] + sz[:, 1]) / dy).astype(jnp.int32) - (K - 1) // 2,
+            0,
+            jnp.asarray(nr - K, jnp.int32),
+        )
+        data = m.hfield_elev[jnp.asarray(gh)].astype(dtype)  # (n, maxr, maxc)
+        patch = jax.vmap(
+            lambda dat, i, j: jax.lax.dynamic_slice(dat, (i, j), (K, K))
+        )(data, i0, j0)  # (n, K, K) z at [row=y, col=x]
+        ar = jnp.arange(K, dtype=dtype)
+        xs = (j0[:, None].astype(dtype) + ar) * dx[:, None] - sz[:, 0:1]
+        ys = (i0[:, None].astype(dtype) + ar) * dy[:, None] - sz[:, 1:2]
+        V = jnp.stack(
+            [
+                jnp.broadcast_to(xs[:, None, :], patch.shape),
+                jnp.broadcast_to(ys[:, :, None], patch.shape),
+                patch,
+            ],
+            axis=-1,
+        )  # (n, K, K, 3)
+        flat = lambda W: W.reshape(W.shape[0], -1, 3)
+        A = jnp.concatenate([flat(V[:, :-1, :-1]), flat(V[:, :-1, :-1])], 1)
+        B = jnp.concatenate([flat(V[:, :-1, 1:]), flat(V[:, 1:, 1:])], 1)
+        C = jnp.concatenate([flat(V[:, 1:, 1:]), flat(V[:, 1:, :-1])], 1)
+        q = _point_tri_closest(c[:, None, :], A, B, C)  # (n, T, 3)
+        dvec = c[:, None, :] - q
+        d2 = jnp.sum(dvec * dvec, axis=-1)
+        k = jnp.argmin(d2, axis=-1)
+        take = lambda W: jnp.take_along_axis(W, k[:, None, None], axis=1)[:, 0]
+        qs, As, Bs, Cs = take(q), take(A), take(B), take(C)
+        ntri = jnp.cross(Bs - As, Cs - As)
+        ntri = ntri / jnp.maximum(
+            jnp.linalg.norm(ntri, axis=-1, keepdims=True), M.MINVAL
+        )  # z-up by winding
+        dv = c - qs
+        L = jnp.linalg.norm(dv, axis=-1)
+        above = jnp.sum(dv * ntri, axis=-1) >= 0
+        sgn = jnp.where(above, 1.0, -1.0).astype(dtype)
+        di = sgn * L - radius
+        n_l = jnp.where(
+            (above & (L > M.MINVAL))[:, None],
+            dv / jnp.maximum(L, M.MINVAL)[:, None],
+            ntri,
+        )
+        pos_l = 0.5 * (qs + c - n_l * radius[:, None])
+        n_w = jnp.einsum("nij,nj->ni", Rh, n_l)
+        pos_w = ph + jnp.einsum("nij,nj->ni", Rh, pos_l)
+        return di, pos_w, make_frame(n_w)
+
+    hs = sel((t1 == M.GEOM_HFIELD) & (t2 == M.GEOM_SPHERE))
+    if hs.size:
+        r = m.geom_size[g2[hs], 0].astype(dtype)
+        di, po, fr = _hfield_probe(hs, d.geom_xpos[g2[hs]], r)
+        slots = slot0[hs]
+        dist = dist.at[slots].set(di)
+        pos = pos.at[slots].set(po)
+        frame = frame.at[slots].set(fr)
+
+    hc = sel((t1 == M.GEOM_HFIELD) & (t2 == M.GEOM_CAPSULE))
+    if hc.size:
+        cw = d.geom_xpos[g2[hc]]
+        axis = _gz(d, g2[hc])
+        r = m.geom_size[g2[hc], 0].astype(dtype)
+        half = m.geom_size[g2[hc], 1].astype(dtype)
+        for k_, t_ in enumerate((-1.0, 0.0, 1.0)):
+            di, po, fr = _hfield_probe(hc, cw + t_ * axis * half[:, None], r)
+            slots = slot0[hc] + k_
+            dist = dist.at[slots].set(di)
+            pos = pos.at[slots].set(po)
             frame = frame.at[slots].set(fr)
 
     # ---- sphere-sphere ----

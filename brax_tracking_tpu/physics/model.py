@@ -178,6 +178,10 @@ class Model:
     # mesh collision (convex hull support data; spec._build_meshes)
     geom_meshidx: Any = _static(default=None)  # (ngeom,) int32 into mesh_vert, -1 = not a mesh
     mesh_vertnum: Any = _static(default=None)  # (nmeshused,) int32 valid verts
+    # height-field collision (spec._build_hfields)
+    geom_hfieldidx: Any = _static(default=None)  # (ngeom,) int32 into hfield_*, -1 = not a hfield
+    hfield_nrowcol: Any = _static(default=None)  # (nhfused, 2) int (nrow, ncol)
+    hfield_patch: int = _static(default=0)  # static K: (K, K) grid patch per contact probe
 
     # ------- traced parameters (jnp leaves) -------
     qpos0: jax.Array = None
@@ -221,6 +225,8 @@ class Model:
     actuator_lengthrange: jax.Array = None  # (nu, 2) muscle operating range
     actuator_acc0: jax.Array = None  # (nu,) norm of unit-force qacc (muscle)
     mesh_vert: jax.Array = None  # (nmeshused, maxvert, 3) hull verts, geom frame
+    hfield_elev: jax.Array = None  # (nhfused, maxrow, maxcol) elevations, meters
+    hfield_size: jax.Array = None  # (nhfused, 4) rx ry z_top z_bottom
     pairs: ContactPairs = None
 
     @property

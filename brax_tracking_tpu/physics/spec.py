@@ -215,6 +215,11 @@ _PAIR_POINTS = {
     # convex meshes: support-function pairs (hull vertex max = support);
     # plane-mesh emits a 4-deepest-vertex manifold like plane-box
     (M.GEOM_PLANE, M.GEOM_MESH): 4,
+    # height fields: per-probe deepest triangle contact (sphere: 1 probe;
+    # capsule: 3 probes along the axis). The reference's MJX backend does
+    # not step hfield models at all — beyond-parity capability.
+    (M.GEOM_HFIELD, M.GEOM_SPHERE): 1,
+    (M.GEOM_HFIELD, M.GEOM_CAPSULE): 3,
     (M.GEOM_SPHERE, M.GEOM_MESH): 1,
     (M.GEOM_CAPSULE, M.GEOM_MESH): 1,
     (M.GEOM_ELLIPSOID, M.GEOM_MESH): 1,
@@ -265,6 +270,70 @@ def _build_meshes(m: mujoco.MjModel, dtype):
         np.array([len(v) for v in verts], np.int32),
         packed,
     )
+
+
+def _build_hfields(m: mujoco.MjModel):
+    """Static height-field data for hfield geoms.
+
+    Returns (geom_hfieldidx, nrowcol, patch_k, elev, size): per-geom index
+    into a padded (nhfused, maxrow, maxcol) elevation array in METERS
+    (MuJoCo normalizes hfield_data to [0,1]; elevation = data * size[2]),
+    plus the static (K, K) probe-patch side: the narrowphase tests the
+    2(K-1)^2 surface triangles under a K x K grid window around each probe
+    point, so K must cover the widest colliding geom's footprint
+    (2 * bounding radius / finest grid spacing), clamped to the grid.
+    """
+    geom_hfieldidx = np.full(m.ngeom, -1, np.int32)
+    hf_geoms = [
+        g
+        for g in range(m.ngeom)
+        if m.geom_type[g] == M.GEOM_HFIELD
+        and (m.geom_contype[g] or m.geom_conaffinity[g])
+    ]
+    if not hf_geoms:
+        return geom_hfieldidx, np.zeros((0, 2), np.int32), 0, np.zeros((0, 0, 0)), np.zeros((0, 4))
+    hids = sorted({int(m.geom_dataid[g]) for g in hf_geoms})
+    nrowcol = np.array(
+        [[int(m.hfield_nrow[h]), int(m.hfield_ncol[h])] for h in hids], np.int32
+    )
+    size = np.array([m.hfield_size[h] for h in hids], np.float64)
+    maxr, maxc = int(nrowcol[:, 0].max()), int(nrowcol[:, 1].max())
+    elev = np.zeros((len(hids), maxr, maxc))
+    for k, h in enumerate(hids):
+        nr, nc = nrowcol[k]
+        adr = int(m.hfield_adr[h])
+        data = np.asarray(m.hfield_data[adr : adr + nr * nc]).reshape(nr, nc)
+        elev[k, :nr, :nc] = data * float(m.hfield_size[h][2])
+    for g in hf_geoms:
+        geom_hfieldidx[g] = hids.index(int(m.geom_dataid[g]))
+
+    # probe footprint: bounding radius of the largest geom colliding with
+    # any hfield, over the finest grid spacing of the used hfields
+    reach = 0.0
+    for g in range(m.ngeom):
+        t = int(m.geom_type[g])
+        if t == M.GEOM_SPHERE:
+            r = float(m.geom_size[g, 0])
+        elif t == M.GEOM_CAPSULE:
+            # probed as 3 spheres along the axis: per-probe reach covers
+            # radius + half the inter-probe spacing (half_len / 2)
+            r = float(m.geom_size[g, 0] + 0.5 * m.geom_size[g, 1])
+        else:
+            continue
+        reach = max(reach, r)
+    spacing = np.inf
+    for k in range(len(hids)):
+        nr, nc = nrowcol[k]
+        if nc > 1:
+            spacing = min(spacing, 2.0 * size[k, 0] / (nc - 1))
+        if nr > 1:
+            spacing = min(spacing, 2.0 * size[k, 1] / (nr - 1))
+    if not np.isfinite(spacing):
+        spacing = 1.0
+    patch_k = int(np.ceil(2.0 * reach / spacing)) + 3
+    patch_k = min(patch_k, int(nrowcol[:, 0].min()), int(nrowcol[:, 1].min()))
+    patch_k = max(patch_k, 2)
+    return geom_hfieldidx, nrowcol, patch_k, elev, size
 
 
 def _candidate_pairs(m: mujoco.MjModel):
@@ -603,10 +672,16 @@ def model_from_mj(m: mujoco.MjModel, dtype=jnp.float32) -> M.Model:
 
 def _mesh_fields(m: mujoco.MjModel, dtype):
     geom_meshidx, mesh_vertnum, mesh_vert = _build_meshes(m, dtype)
+    geom_hfieldidx, hf_nrowcol, patch_k, hf_elev, hf_size = _build_hfields(m)
     return dict(
         geom_meshidx=geom_meshidx,
         mesh_vertnum=mesh_vertnum,
         mesh_vert=jnp.asarray(mesh_vert, dtype),
+        geom_hfieldidx=geom_hfieldidx,
+        hfield_nrowcol=hf_nrowcol,
+        hfield_patch=patch_k,
+        hfield_elev=jnp.asarray(hf_elev, dtype),
+        hfield_size=jnp.asarray(hf_size, dtype),
     )
 
 
