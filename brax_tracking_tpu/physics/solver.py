@@ -769,63 +769,6 @@ def _cg_arrays(qM, Jc, jsign, D, aref, exists, e_con, qfrc_smooth, qvel, *,
     return x, force, qfrc_constraint, a0, qvel_next
 
 
-def _small_spd_inverse(P: jax.Array) -> jax.Array:
-    """Inverse of a small SPD block via a fully-unrolled scalar sweep.
-
-    Every step is a rank-1 update on the whole block (vectorizes on the
-    VPU); no data-dependent control flow, so it stays cheap to compile
-    even when nested under while_loop/scan (where XLA:TPU's While-based
-    cholesky/triangular_solve expansions blow up compile time).
-    """
-    b = P.shape[-1]
-    A = P
-    for k in range(b):
-        dk = A[k, k]
-        colk = A[:, k] / dk
-        rowk = A[k, :]
-        A = A - colk[:, None] * rowk[None, :]
-        A = A.at[k, :].set(rowk / dk)
-        A = A.at[:, k].set(colk)
-        A = A.at[k, k].set(-1.0 / dk)
-    return -A
-
-
-def _sweep_spd_inverse(H: jax.Array, block: int = 16) -> jax.Array:
-    """Dense SPD inverse via block Gauss-Jordan (sweep operator).
-
-    Statically unrolled over ceil(n/block) pivot blocks; each sweep is a
-    small-block inverse plus full-width GEMMs — MXU work with zero While
-    ops, unlike jnp.linalg.cholesky + solve_triangular whose XLA:TPU
-    expansions multiply compile time ~100x when nested inside
-    while_loop(scan(...)) (measured on the Newton solver; see
-    _solve_newton). ~6x the flops of a Cholesky solve, but the Newton
-    Hessian solve is a tiny fraction of the step's compute and the
-    compile-time win is what makes Newton usable at all on this backend.
-
-    Padding (n -> nb*block) uses an identity tail, which sweeps to an
-    identity tail in the inverse and is sliced off.
-    """
-    n = H.shape[-1]
-    nb = -(-n // block)
-    npad = nb * block
-    if npad != n:
-        A = jnp.eye(npad, dtype=H.dtype).at[:n, :n].set(H)
-    else:
-        A = H
-    for kb in range(nb):
-        sl = slice(kb * block, (kb + 1) * block)
-        Pinv = _small_spd_inverse(A[sl, sl])
-        col = A[:, sl]  # (npad, block)
-        row = A[sl, :]  # (block, npad)
-        colP = col @ Pinv
-        A = A - colP @ row
-        A = A.at[sl, :].set(Pinv @ row)
-        A = A.at[:, sl].set(colP)
-        A = A.at[sl, sl].set(-Pinv)
-    Ainv = -A
-    return Ainv[:n, :n] if npad != n else Ainv
-
-
 def _solve_newton(m: M.Model, d: M.Data, layout: Cn.EfcLayout, meta: _ConeMeta) -> M.Data:
     """Exact-Hessian Newton solve (mjSOL_NEWTON; engine_solver.c semantics).
 
@@ -942,7 +885,14 @@ def _solve_newton(m: M.Model, d: M.Data, layout: Cn.EfcLayout, meta: _ConeMeta) 
     def body(carry):
         ctx, done, it = carry
         H = hess(ctx.jar)
-        p = -(_sweep_spd_inverse(H) @ ctx.grad)
+        # Batched TPU calls route to the lane-major Pallas sweep kernel
+        # (the H tile stays resident in VMEM for all nv elimination steps,
+        # ops/cholesky._inverse_kernel); unbatched/CPU oracle calls use
+        # scipy Cholesky. A plain-XLA sweep here would round-trip the
+        # whole (B, nv, nv) batch through HBM once per elimination step.
+        from brax_tracking_tpu.ops import cholesky as ops_chol
+
+        p = -(ops_chol.spd_inverse(H) @ ctx.grad)
         jar_p = Cn.jac_mul(m, d, p)
         mp = d.qM @ p
         alpha = _linesearch(
