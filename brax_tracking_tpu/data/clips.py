@@ -122,16 +122,126 @@ def process_clip(
     )
 
 
-def load_stac_qpos(stac_path: str) -> np.ndarray:
-    """Loads a stac mocap qpos array from .h5 or pickle."""
+def _find_qpos(data, path="") -> list:
+    """All (path, array) pairs whose key is ``qpos`` in a nested dict tree."""
+    found = []
+    if isinstance(data, dict):
+        for k, v in data.items():
+            p = f"{path}/{k}" if path else str(k)
+            if str(k) == "qpos":
+                found.append((p, v))
+            else:
+                found.extend(_find_qpos(v, p))
+    elif isinstance(data, (list, tuple)):
+        for i, v in enumerate(data):
+            found.extend(_find_qpos(v, f"{path}[{i}]"))
+    return found
+
+
+def load_stac_qpos(stac_path: str, nq: int | None = None) -> np.ndarray:
+    """Loads a stac mocap qpos array from .h5 or pickle.
+
+    Accepted layouts (see data/STAC_SCHEMA.md; reference format:
+    preprocessing/preprocess.py:66-74 + utils/io_dict_to_hdf5.py):
+    - top-level ``qpos`` dataset — the reference's layout;
+    - exactly one ``qpos`` anywhere in a nested group tree (wrapped
+      exports, e.g. ``stac/qpos``);
+    - several ``qpos`` datasets in sibling groups ("snips"): concatenated
+      in sorted-key order along time, all widths equal.
+
+    Validation (real lab exports fail in ways the reference ingested
+    silently): result must be a 2-D float array; ``nq``, when given, pins
+    the expected qpos width.
+    """
     _, ext = os.path.splitext(stac_path)
-    if ext == ".h5":
+    if ext in (".h5", ".hdf5"):
         from brax_tracking_tpu.data import h5io
 
         data = h5io.load(stac_path)
-        return np.asarray(data["qpos"])
-    with open(stac_path, "rb") as f:
-        return np.asarray(pickle.load(f)["qpos"])
+    else:
+        with open(stac_path, "rb") as f:
+            data = pickle.load(f)
+    if not isinstance(data, dict):
+        raise ValueError(
+            f"{stac_path}: expected a dict-like stac export, got "
+            f"{type(data).__name__}"
+        )
+    found = _find_qpos(data)
+    if not found:
+        top = sorted(data.keys())[:12]
+        raise KeyError(
+            f"{stac_path}: no 'qpos' dataset anywhere in the file "
+            f"(top-level keys: {top}); see data/STAC_SCHEMA.md"
+        )
+    arrays = []
+    for p, v in sorted(found, key=lambda kv: kv[0]):
+        a = np.asarray(v)
+        if a.ndim != 2 or not np.issubdtype(a.dtype, np.floating):
+            raise ValueError(
+                f"{stac_path}: '{p}' has shape {a.shape} dtype {a.dtype}; "
+                "expected a (frames, nq) float array"
+            )
+        arrays.append(a)
+    widths = {a.shape[1] for a in arrays}
+    if len(widths) != 1:
+        raise ValueError(
+            f"{stac_path}: snip qpos widths disagree: {sorted(widths)} "
+            f"(paths: {[p for p, _ in found]})"
+        )
+    qpos = arrays[0] if len(arrays) == 1 else np.concatenate(arrays, axis=0)
+    if nq is not None and qpos.shape[1] != nq:
+        raise ValueError(
+            f"{stac_path}: qpos width {qpos.shape[1]} != model nq {nq} — "
+            "wrong model/export pairing? (tethered models strip the free "
+            "joint: nq differs by 7)"
+        )
+    return qpos
+
+
+def clean_stac_qpos(
+    qpos: np.ndarray,
+    nan_policy: str = "error",
+    max_nan_fraction: float = 0.1,
+    quat_cols: Sequence[int] = (),
+) -> np.ndarray:
+    """NaN handling for real lab exports (dropped-marker frames).
+
+    ``nan_policy``:
+    - "error" (default): any non-finite value raises, with frame indices;
+    - "interpolate": interior NaN frames are filled per-column by linear
+      interpolation over time (quaternion columns renormalized after),
+      leading/trailing NaN frames take the nearest valid frame; more than
+      ``max_nan_fraction`` bad frames still raises.
+    """
+    bad = ~np.isfinite(qpos)
+    if not bad.any():
+        return qpos
+    bad_frames = np.nonzero(bad.any(axis=1))[0]
+    if nan_policy == "error":
+        raise ValueError(
+            f"stac qpos has non-finite values in {bad_frames.size} frames "
+            f"(first few: {bad_frames[:8].tolist()}); pass "
+            "nan_policy='interpolate' to repair dropped-marker frames"
+        )
+    if nan_policy != "interpolate":
+        raise ValueError(f"unknown nan_policy {nan_policy!r}")
+    if bad_frames.size > max_nan_fraction * qpos.shape[0]:
+        raise ValueError(
+            f"stac qpos has {bad_frames.size}/{qpos.shape[0]} non-finite "
+            f"frames (> max_nan_fraction={max_nan_fraction}); refusing to "
+            "interpolate — the export is likely corrupt"
+        )
+    out = qpos.copy()
+    t = np.arange(qpos.shape[0])
+    for c in range(qpos.shape[1]):
+        col_bad = bad[:, c]
+        if col_bad.any():
+            good = ~col_bad
+            out[col_bad, c] = np.interp(t[col_bad], t[good], qpos[good, c])
+    for q0 in quat_cols:
+        norms = np.linalg.norm(out[:, q0 : q0 + 4], axis=1, keepdims=True)
+        out[:, q0 : q0 + 4] /= np.maximum(norms, 1e-12)
+    return out
 
 
 def process_clip_to_train(
@@ -141,14 +251,40 @@ def process_clip_to_train(
     clip_length: int = 250,
     max_qvel: float = 20.0,
     dt: float = 0.02,
+    nan_policy: str = "error",
 ) -> ReferenceClip:
     """End-to-end: stac file -> ReferenceClip (preprocess.py:44-96).
 
     Unlike the reference, the compiled Model is passed in (the offline
     compile with rescaling already happened via physics.spec.build_model).
+    Input validation and NaN handling: load_stac_qpos / clean_stac_qpos
+    (data/STAC_SCHEMA.md documents the accepted export layouts).
     """
-    mocap_qpos = load_stac_qpos(stac_path)[start_step : start_step + clip_length]
+    full = load_stac_qpos(stac_path, nq=_expected_stac_nq(m))
+    if start_step + clip_length > full.shape[0]:
+        # the reference slices silently, producing a short clip whose
+        # episode-length math is then wrong downstream — fail loudly
+        raise ValueError(
+            f"{stac_path}: clip [{start_step}, {start_step + clip_length}) "
+            f"out of range — file has {full.shape[0]} frames "
+            f"(clip_idx too large for this export?)"
+        )
+    has_free = bool(np.any(np.asarray(m.jnt_type) == M.JNT_FREE))
+    mocap_qpos = clean_stac_qpos(
+        full[start_step : start_step + clip_length],
+        nan_policy=nan_policy,
+        quat_cols=(3,) if has_free else (),
+    )
     return process_clip(m, jnp.asarray(mocap_qpos), max_qvel=max_qvel, dt=dt)
+
+
+def _expected_stac_nq(m: M.Model) -> int | None:
+    """Stac exports are fitted on the free-root model; a tethered compile
+    (free joint stripped) still ingests full-width exports in the
+    reference (fly_freejnt vs fly dataset configs), so only pin nq when
+    the model keeps its free root."""
+    has_free = bool(np.any(np.asarray(m.jnt_type) == M.JNT_FREE))
+    return int(m.nq) if has_free else None
 
 
 def stack_clips(clips: Sequence[ReferenceClip]) -> ReferenceClip:

@@ -57,6 +57,7 @@ def _build_one_clip(cfg: Dict, env_model, clip_idx: int):
             start_step=clip_idx * ds["clip_length"],
             clip_length=ds["clip_length"],
             dt=dt,
+            nan_policy=ds.get("nan_policy", "error"),
         )
     else:
         _logger.warning("dataset.stac_path empty -> synthetic demo clip %d", clip_idx)

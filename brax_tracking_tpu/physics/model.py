@@ -308,5 +308,11 @@ class Data:
     efc_force: jax.Array = None  # (nefc,)
     qfrc_constraint: jax.Array = None  # (nv,)
     qacc: jax.Array = None  # (nv,)
+    # solver warm start: previous step's qacc (mj_forward copies qacc into
+    # qacc_warmstart after the constraint solve; the next solve starts from
+    # whichever of {warmstart, qacc_smooth} has lower primal cost —
+    # engine_solver.c warmstart semantics, also implemented by MJX).
+    # None (fresh make_data) => cold start from qacc_smooth.
+    qacc_warmstart: jax.Array = None  # (nv,)
     # sensors
     sensordata: jax.Array = None  # (nsensordata,)

