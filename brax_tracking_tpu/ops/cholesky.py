@@ -77,7 +77,7 @@ def _factor_kernel(nv: int, a_ref, u_ref):
     jax.lax.fori_loop(0, nv, body, 0)
 
 
-def _solve_kernel(nv: int, u_ref, b_ref, x_ref, y_ref, acc_ref):
+def _solve_ref(nv: int, u_ref, b_ref, x_ref, y_ref, acc_ref):
     """Solve (U^T U) x = b for one (n, LANE) rhs tile; row access only."""
     zeros = jnp.zeros(x_ref.shape, x_ref.dtype)
     acc_ref[:] = zeros
@@ -106,6 +106,58 @@ def _solve_kernel(nv: int, u_ref, b_ref, x_ref, y_ref, acc_ref):
         return 0
 
     jax.lax.fori_loop(0, nv, bwd, 0)
+
+
+def _solve_kernel(nv: int, u_ref, b_ref, x_ref, y_ref, acc_ref):
+    _solve_ref(nv, u_ref, b_ref, x_ref, y_ref, acc_ref)
+
+
+def _factor_ref_blocked(n: int, u_ref, block: int = _SUBLANE):
+    """In-place blocked Cholesky of an (n, n, LANE) VMEM tile.
+
+    The tile must hold an SPD matrix whose padded diagonal (rows >= the
+    logical nv) is the identity (_pad_spd guarantees this), so all n
+    elimination steps are exact (padded pivots sweep as no-ops). On exit
+    the rows hold the upper factor U with M = U^T U (sub-diagonal entries
+    of trailing rows carry garbage that every consumer masks, exactly as
+    in _factor_kernel).
+
+    Why blocked: the scalar kernel does n rank-1 FULL-TILE passes (the
+    square update plus the dead sub-diagonal half is ~6x the triangle's
+    FLOPs). Here the panel is swept with `block` tiny steps and the Schur
+    update touches only the STATIC trailing rows — python-unrolled block
+    bounds keep every slice static for Mosaic.
+    """
+    i_col = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    j_row = jax.lax.broadcasted_iota(jnp.int32, (block, 1, 1), 0)
+    for kb in range(0, n, block):
+        P = u_ref[pl.ds(kb, block)]  # (block, n, LANE) panel values
+        for k in range(block):
+            row = P[k]  # (n, LANE)
+            pivot = row[kb + k]  # (LANE,)
+            c = jax.lax.rsqrt(pivot)
+            u_k = jnp.where(i_col >= kb + k, row * c[None], 0.0)
+            fac = u_k[kb : kb + block]  # (block, LANE) panel column of U
+            P = P - jnp.where(j_row > k, fac[:, None, :] * u_k[None], 0.0)
+            P = jnp.where(j_row == k, u_k[None], P)
+        u_ref[pl.ds(kb, block)] = P
+        rem = n - kb - block
+        if rem > 0:
+            # Schur update of trailing rows only: S[j] -= sum_k U_k[j] U_k
+            fac_t = P[:, kb + block :]  # (block, rem, LANE)
+            upd = sum(
+                fac_t[k][:, None, :] * P[k][None, :, :] for k in range(block)
+            )  # (rem, n, LANE)
+            u_ref[pl.ds(kb + block, rem)] = u_ref[pl.ds(kb + block, rem)] - upd
+
+
+def _factor_solve_kernel(n: int, nv: int, a_ref, b_ref, x_ref, u_ref, y_ref,
+                         acc_ref):
+    """Fused factor + solve: U never leaves VMEM (one kernel, no HBM
+    round trip for the (n, n, B) factor between the two stages)."""
+    u_ref[:] = a_ref[:]
+    _factor_ref_blocked(n, u_ref)
+    _solve_ref(nv, u_ref, b_ref, x_ref, y_ref, acc_ref)
 
 
 # ---------------------------------------------------------------------------
@@ -414,6 +466,66 @@ def _spd_inverse_vmap(axis_size, in_batched, qM):
         return jax.scipy.linalg.cho_solve(c, jnp.eye(q.shape[0], dtype=q.dtype))
 
     return jax.vmap(_one)(qM), True
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def factor_solve_batched(
+    qM: jax.Array, b: jax.Array, interpret: bool = False
+) -> jax.Array:
+    """Solve M x = b, (B, nv, nv) SPD + (B, nv) rhs, in ONE Pallas kernel
+    (blocked factor + both substitutions; the factor stays in VMEM)."""
+    B, nv, _ = qM.shape
+    n = _round_up(nv, _SUBLANE)
+    Bp = _round_up(B, LANE)
+    a = _pad_spd(qM, n)
+    bb = jnp.zeros((B, n), b.dtype).at[:, :nv].set(b)
+    if Bp != B:
+        a = jnp.concatenate([a, jnp.tile(a[-1:], (Bp - B, 1, 1))], axis=0)
+        bb = jnp.concatenate([bb, jnp.tile(bb[-1:], (Bp - B, 1))], axis=0)
+    at = jnp.transpose(a, (1, 2, 0))  # (n, n, Bp): batch in lanes
+    bt = jnp.transpose(bb, (1, 0))
+    xt = pl.pallas_call(
+        functools.partial(_factor_solve_kernel, n, nv),
+        grid=(Bp // LANE,),
+        in_specs=[
+            pl.BlockSpec((n, n, LANE), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, LANE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n, LANE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, Bp), b.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((n, n, LANE), qM.dtype),
+            pltpu.VMEM((n, LANE), b.dtype),
+            pltpu.VMEM((n, LANE), b.dtype),
+        ],
+        interpret=interpret,
+        compiler_params=_compiler_params(n),
+    )(at, bt)
+    return jnp.transpose(xt, (1, 0))[:B, :nv]
+
+
+@jax.custom_batching.custom_vmap
+def spd_solve(qM: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve M x = b for SPD M — unbatched/CPU via scipy Cholesky; batched
+    TPU f32 via the fused factor+solve kernel."""
+    c = jax.scipy.linalg.cho_factor(qM)
+    return jax.scipy.linalg.cho_solve(c, b)
+
+
+@spd_solve.def_vmap
+def _spd_solve_vmap(axis_size, in_batched, qM, b):
+    m_b, b_b = in_batched
+    if not (m_b and b_b):
+        qM = qM if m_b else jnp.broadcast_to(qM, (axis_size,) + qM.shape)
+        b = b if b_b else jnp.broadcast_to(b, (axis_size,) + b.shape)
+    if _use_pallas(qM):
+        return factor_solve_batched(qM, b), True
+
+    def one(q, rhs):
+        c = jax.scipy.linalg.cho_factor(q)
+        return jax.scipy.linalg.cho_solve(c, rhs)
+
+    return jax.vmap(one)(qM, b), True
 
 
 @jax.custom_batching.custom_vmap

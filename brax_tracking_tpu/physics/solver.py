@@ -825,7 +825,14 @@ def _solve_newton(
     else:
         exists_con = jnp.zeros((0,), bool)
 
-    Jd = Cn.dense_J(m, d)  # (nefc, nv)
+    # J splits into one-hot scalar-limit rows (rows [0, nlim): a diagonal
+    # contribution to H) and the dense block d.efc_Jc (ball limits +
+    # contacts, rows [nlim, nefc)) — assembling H from the parts instead
+    # of a materialized dense_J keeps the (B, nefc, nv) scatter out of HBM
+    # and shrinks the J'WJ GEMM to the dense rows only.
+    nlim = int(np.asarray(Cn.limit_dofs(m)).size)
+    dadr_lim = Cn.limit_dofs(m)  # static (nlim,) dof addresses
+    Jc = d.efc_Jc  # (nefc - nlim, nv)
     quad_w_mask = np.zeros(layout.nefc, bool)
     quad_w_mask[meta.quad_rows] = True
     nell = int(meta.ell_con.size)
@@ -834,6 +841,8 @@ def _solve_newton(
         # assembled by constraint.py for the target models)
         assert int(meta.ell_dim.max()) <= 3, "elliptic condim > 3"
         ell_rows = np.maximum(meta.ell_rows, 0)  # (nell, 3)
+        assert int(ell_rows.min()) >= nlim, "elliptic rows precede limits"
+        ell_rows_c = ell_rows - nlim  # indices into the dense Jc block
         mu = friction[meta.ell_con, 0]
         # tangent scale = [slide1, slide2] / mu (row i uses friction[i-1])
         sc = friction[meta.ell_con, 0:2] / mu[:, None]  # (nell, 2)
@@ -878,11 +887,17 @@ def _solve_newton(
                 )
             )
             B = jnp.where(middle[:, None, None], B, 0.0)
-            Jb = Jd[ell_rows]  # (nell, 3, nv)
+            Jb = Jc[ell_rows_c]  # (nell, 3, nv)
             H_ell = jnp.einsum("cin,cij,cjm->nm", Jb, B, Jb)
         else:
             H_ell = jnp.zeros((nv, nv), dtype)
-        return d.qM + (Jd * w[:, None]).T @ Jd + H_ell
+        H = d.qM + (Jc * w[nlim:, None]).T @ Jc + H_ell
+        if nlim:
+            # scalar limit rows are +/-1 one-hot: W contribution is a
+            # diagonal scatter-add (jsign^2 == 1)
+            diag_w = jnp.zeros(nv, dtype).at[dadr_lim].add(w[:nlim])
+            H = H + jnp.diag(diag_w)
+        return H
 
     def eval_ctx(x, jar, mxa):
         cost, force = _eval_cost_force(
@@ -929,12 +944,12 @@ def _solve_newton(
         # whole (B, nv, nv) batch through HBM once per elimination step.
         from brax_tracking_tpu.ops import cholesky as ops_chol
 
-        # factor + single-rhs solve: Newton needs only H^-1 grad, so a
-        # Cholesky factor (nv rank-1 passes) plus two triangular
-        # substitutions beats materializing the full inverse (the sweep's
-        # nv full-tile passes) — H changes every iteration, so unlike qM
-        # the inverse is never amortized over several right-hand sides
-        p = -ops_chol.cholesky_solve(ops_chol.cholesky_factor(H), ctx.grad)
+        # fused factor + single-rhs solve: Newton needs only H^-1 grad —
+        # one kernel does the blocked Cholesky (static trailing updates,
+        # ~3x fewer VPU FLOPs than the scalar rank-1 sweep) and both
+        # substitutions with U resident in VMEM; H changes every
+        # iteration, so unlike qM a full inverse is never amortized
+        p = -ops_chol.spd_solve(H, ctx.grad)
         jar_p = Cn.jac_mul(m, d, p)
         mp = d.qM @ p
         alpha = _linesearch(

@@ -29,6 +29,12 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from brax_tracking_tpu.cache_guard import ensure_clean_cache
+
+jax.config.update(
+    "jax_compilation_cache_dir", ensure_clean_cache("/tmp/btt_jax_cache")
+)
+
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
 
 
@@ -86,24 +92,32 @@ def main():
           f"-> {B/t_full:,.0f} env-steps/s")
 
     # --- pre-solve data batch (one substep's input to the solver) ---
-    def presolve(d, a):
-        d = d.replace(ctrl=a.astype(d.qpos.dtype))
-        from brax_tracking_tpu.physics import actuation as A
-        from brax_tracking_tpu.physics import collision as C
-        from brax_tracking_tpu.physics import passive as P
+    from brax_tracking_tpu.physics import actuation as A
+    from brax_tracking_tpu.physics import collision as C
+    from brax_tracking_tpu.physics import passive as P
 
-        d = St.fwd_position_smooth(m, d)
-        d = C.collision(m, d)
-        d = D.crb(m, d)
-        d = D.invert_m(m, d)
-        d = St.fwd_velocity_smooth(m, d)
-        d = P.passive(m, d)
-        d = D.rne(m, d)
-        d = A.fwd_actuation(m, d)
+    def _smooth_tail(d):
         qfrc_smooth = d.qfrc_passive - d.qfrc_bias + d.qfrc_actuator
         qacc_smooth = D.solve_m(m, d, qfrc_smooth)
-        d = d.replace(qfrc_smooth=qfrc_smooth, qacc_smooth=qacc_smooth)
-        d = Cn.make_constraint(m, d)
+        return d.replace(qfrc_smooth=qfrc_smooth, qacc_smooth=qacc_smooth)
+
+    stages = [
+        ("fk (fwd_position)", lambda d: St.fwd_position_smooth(m, d)),
+        ("collision", lambda d: C.collision(m, d)),
+        ("crb", lambda d: D.crb(m, d)),
+        ("invert_m", lambda d: D.invert_m(m, d)),
+        ("fwd_velocity", lambda d: St.fwd_velocity_smooth(m, d)),
+        ("passive", lambda d: P.passive(m, d)),
+        ("rne", lambda d: D.rne(m, d)),
+        ("actuation", lambda d: A.fwd_actuation(m, d)),
+        ("smooth tail (solve_m)", _smooth_tail),
+        ("make_constraint", lambda d: Cn.make_constraint(m, d)),
+    ]
+
+    def presolve(d, a):
+        d = d.replace(ctrl=a.astype(d.qpos.dtype))
+        for _, fn in stages:
+            d = fn(d)
         return d
 
     a = jax.random.uniform(jax.random.PRNGKey(7), (B, env.action_size),
@@ -111,6 +125,18 @@ def main():
     presolve_b = jax.jit(jax.vmap(presolve, in_axes=(0, 0)))
     t_pre, dpre = timeit(presolve_b, state.pipeline_state, a)
     print(f"pre-solve pipeline (1 substep):  {t_pre*1e3:8.2f} ms")
+
+    # per-stage breakdown (isolated jits; ranking survives fusion)
+    d_in = state.pipeline_state.replace(ctrl=a.astype(jnp.float32))
+    for name, fn in stages:
+        fn_b = jax.jit(jax.vmap(fn))
+        try:
+            t_s, d_out = timeit(fn_b, d_in)
+            print(f"  {name:26s} {t_s*1e3:8.2f} ms")
+            d_in = d_out
+        except Exception as e:  # keep the rest of the profile alive
+            print(f"  {name:26s} FAILED: {type(e).__name__}")
+            d_in = jax.jit(jax.vmap(fn))(d_in)
 
     solve_b = jax.jit(jax.vmap(lambda d: S.solve(m, d).qacc))
     t_solve, _ = timeit(solve_b, dpre)
@@ -138,13 +164,18 @@ def main():
     jar0 = jax.jit(jax.vmap(get_jar0))(dpre)
 
     def hess_one(d, jar):
-        Jd = Cn.dense_J(m, d)
         exists_row = d.efc_pos < d.efc_margin
         quad_w_mask = np.zeros(layout.nefc, bool)
         quad_w_mask[meta.quad_rows] = True
         active = (jar < 0) & exists_row & jnp.asarray(quad_w_mask)
         w = jnp.where(active, d.efc_D, 0.0)
-        return d.qM + (Jd * w[:, None]).T @ Jd
+        nlim = d.efc_jsign.shape[0]
+        Jc = d.efc_Jc
+        H = d.qM + (Jc * w[nlim:, None]).T @ Jc
+        if nlim:
+            dadr = Cn.limit_dofs(m)
+            H = H + jnp.diag(jnp.zeros(m.nv, H.dtype).at[dadr].add(w[:nlim]))
+        return H
 
     hess_b = jax.jit(jax.vmap(hess_one))
     t_h, H = timeit(hess_b, dpre, jar0)
@@ -152,9 +183,10 @@ def main():
 
     from brax_tracking_tpu.ops import cholesky as ops_chol
 
-    inv_b = jax.jit(lambda H: ops_chol.spd_inverse(H))
-    t_i, Hi = timeit(inv_b, H)
-    print(f"spd_inverse(H)  (1 iter):        {t_i*1e3:8.2f} ms")
+    g0 = jax.jit(jax.vmap(lambda d: d.qfrc_smooth))(dpre)
+    fs_b = jax.jit(lambda H, g: ops_chol.factor_solve_batched(H, g))
+    t_i, _ = timeit(fs_b, H, g0)
+    print(f"factor_solve(H) (1 iter):        {t_i*1e3:8.2f} ms")
 
     # linesearch with a synthetic direction p = -H^-1 grad0
     def ls_one(d, jar):

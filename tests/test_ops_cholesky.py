@@ -82,3 +82,32 @@ def test_spd_inverse_dispatch():
         np.linalg.inv(np.asarray(qMb)),
         rtol=1e-10,
     )
+
+
+@pytest.mark.parametrize("B,n", [(8, 5), (130, 73), (16, 146)])
+def test_factor_solve_batched_fused(B, n):
+    """Fused blocked-factor + solve kernel (the Newton direction solve)."""
+    rng = np.random.RandomState(3)
+    qM = jnp.asarray(_rand_spd(rng, B, n))
+    b = jnp.asarray(rng.randn(B, n).astype(np.float32))
+    x = oc.factor_solve_batched(qM, b, interpret=True)
+    ref = np.linalg.solve(
+        np.asarray(qM, np.float64), np.asarray(b, np.float64)[..., None]
+    )[..., 0]
+    np.testing.assert_allclose(np.asarray(x), ref, rtol=2e-3, atol=2e-3)
+
+
+def test_spd_solve_dispatch():
+    """spd_solve: unbatched -> scipy exact; batched CPU -> vmap scipy."""
+    rng = np.random.RandomState(4)
+    qM = jnp.asarray(_rand_spd(rng, 1, 9)[0], jnp.float64)
+    b = jnp.asarray(rng.randn(9))
+    x = oc.spd_solve(qM, b)
+    np.testing.assert_allclose(
+        np.asarray(x), np.linalg.solve(np.asarray(qM), np.asarray(b)), rtol=1e-10
+    )
+    qMb = jnp.asarray(_rand_spd(rng, 4, 9), jnp.float32)
+    bb = jnp.asarray(rng.randn(4, 9).astype(np.float32))
+    xb = jax.vmap(oc.spd_solve)(qMb, bb)
+    ref = np.linalg.solve(np.asarray(qMb, np.float64), np.asarray(bb)[..., None])[..., 0]
+    np.testing.assert_allclose(np.asarray(xb), ref, rtol=2e-4, atol=2e-4)
