@@ -72,6 +72,8 @@ def _cg_kernel(
     has_damping: bool,
     ell0: int,
     nell: int,
+    has_warmstart: bool,
+    stall_tol: float,
     qM_ref,
     J_ref,
     D_ref,
@@ -84,28 +86,33 @@ def _cg_kernel(
     qfrc_smooth_ref,
     qvel_ref,
     damp_ref,
+    ws_ref,
     x_ref,
     force_ref,
     qfrc_ref,
     a0_ref,
     qvel_new_ref,
+    done_ref,
     scratch_ref,
 ):
     _cg_core(
         nv, nefc, iters, ls_iters, tol, minval, dt, has_damping, ell0, nell,
+        has_warmstart, stall_tol,
         qM_ref[:], J_ref, D_ref, aref_ref, exists_ref, mu_ref, sc1_ref,
-        sc2_ref, econ_ref, qfrc_smooth_ref, qvel_ref, damp_ref, x_ref,
-        force_ref, qfrc_ref, a0_ref, qvel_new_ref, scratch_ref,
+        sc2_ref, econ_ref, qfrc_smooth_ref, qvel_ref, damp_ref, ws_ref,
+        x_ref, force_ref, qfrc_ref, a0_ref, qvel_new_ref, done_ref,
+        scratch_ref,
     )
 
 
 def _cg_core(
     nv, nefc, iters, ls_iters, tol, minval, dt, has_damping, ell0, nell,
+    has_warmstart, stall_tol,
     qM,  # (Vp, Vp, L) loaded values (input tile or in-kernel-assembled)
     J_ref,  # (Rp, Vp, L) ref — input tile or scratch, read chunk-by-chunk
     D_ref, aref_ref, exists_ref, mu_ref, sc1_ref, sc2_ref, econ_ref,
-    qfrc_smooth_ref, qvel_ref, damp_ref,
-    x_ref, force_ref, qfrc_ref, a0_ref, qvel_new_ref, scratch_ref,
+    qfrc_smooth_ref, qvel_ref, damp_ref, ws_ref,
+    x_ref, force_ref, qfrc_ref, a0_ref, qvel_new_ref, done_ref, scratch_ref,
 ):
     f32 = jnp.float32
     D = D_ref[:]  # (Rp, L)
@@ -219,6 +226,23 @@ def _cg_core(
     jar = jmul(x) - aref
     mxa = jnp.zeros_like(x)
     force, cost, grad, mgrad = eval_ctx(x, jar, mxa)
+    if has_warmstart:
+        # mj_warmstart: start from whichever of {warmstart, a0} has lower
+        # primal cost (strictly convex: same optimum, fewer iterations)
+        ws = ws_ref[:]
+        jar_w = jmul(ws) - aref
+        mxa_w = mmul(qM, ws - a0)
+        force_w, cost_w, grad_w, mgrad_w = eval_ctx(ws, jar_w, mxa_w)
+        bet = jnp.where(cost_w < cost, 1.0, 0.0)  # (1, L)
+        bV = jnp.broadcast_to(bet, x.shape)
+        bR = jnp.broadcast_to(bet, jar.shape)
+        x = bV * ws + (1.0 - bV) * x
+        jar = bR * jar_w + (1.0 - bR) * jar
+        mxa = bV * mxa_w + (1.0 - bV) * mxa
+        force = bR * force_w + (1.0 - bR) * force
+        cost = bet * cost_w + (1.0 - bet) * cost
+        grad = bV * grad_w + (1.0 - bV) * grad
+        mgrad = bV * mgrad_w + (1.0 - bV) * mgrad
     p = -mgrad
     done = jnp.zeros((1, x.shape[-1]), f32)  # 0/1 per lane
 
@@ -339,6 +363,13 @@ def _cg_core(
         )
         alpha = jnp.minimum(guess, hi)
 
+        # f32 stall floor for |phi'|: once the directional derivative is
+        # rounding noise relative to its initial magnitude, further LS
+        # iterations are noise amplification (stall_tol=0 disables; only
+        # the Newton-dispatch path sets it — CG callers keep bit-identical
+        # behavior)
+        d0_scale = jnp.abs(d0) * stall_tol if stall_tol else None
+
         def ls_body(c):
             alpha, lo, hi = c
             dv, ddv = dphi(alpha)
@@ -346,6 +377,10 @@ def _cg_core(
             # newton == alpha == lo and the open-interval safeguard would
             # bisect AWAY from the optimum (same fix as solver._cg_arrays)
             conv = jnp.where(jnp.abs(dv) < tol, 1.0, 0.0)
+            if d0_scale is not None:
+                conv = jnp.maximum(
+                    conv, jnp.where(jnp.abs(dv) < d0_scale, 1.0, 0.0)
+                )
             lo2 = jnp.where(dv < 0.0, alpha, lo)
             hi2 = jnp.where(dv >= 0.0, alpha, hi)
             newton = alpha - dv / jnp.maximum(ddv, minval)
@@ -354,14 +389,19 @@ def _cg_core(
             alpha = conv * alpha + (1.0 - conv) * alpha2
             lo = conv * lo + (1.0 - conv) * lo2
             hi = conv * hi + (1.0 - conv) * hi2
-            return alpha, lo, hi
+            return alpha, lo, hi, conv
 
         lsc = (alpha, lo, hi)
         if ls_iters <= 16:
             for _ in range(ls_iters):
-                lsc = ls_body(lsc)
+                lsc = ls_body(lsc)[:3]
         else:
-            lsc = jax.lax.fori_loop(0, ls_iters, lambda _, c: ls_body(c), lsc)
+            # rolled budget (no in-kernel early exit: Mosaic's while
+            # lowering crashes on large tiles — the Newton dispatch caps
+            # ls_iters at 16 instead, see solver._solve_newton_fused)
+            lsc = jax.lax.fori_loop(
+                0, ls_iters, lambda _, c: ls_body(c)[:3], lsc
+            )
         alpha, lo, hi = lsc
 
         aV = jnp.broadcast_to(alpha, x.shape)
@@ -383,6 +423,16 @@ def _cg_core(
         step_done = jnp.where(
             jnp.logical_or(improvement < tol, gradnorm < tol), 1.0, 0.0
         )
+        if stall_tol:
+            # f32 stall: the model tolerance (1e-8-scaled, an f64
+            # assumption) never triggers in f32 — freeze lanes whose cost
+            # improvement is rounding noise; accuracy is identical to
+            # running the remaining budget (the iterates can no longer
+            # move the cost)
+            stalled = jnp.where(
+                improvement < stall_tol * jnp.abs(cost_new), 1.0, 0.0
+            )
+            step_done = jnp.maximum(step_done, stalled)
         # freeze lanes that converged BEFORE this iteration
         keep = 1.0 - done
         dV = jnp.broadcast_to(done, x.shape)
@@ -405,10 +455,16 @@ def _cg_core(
         for _ in range(iters):
             carry = cg_body(carry)
     else:
-        # rolled loop for big iteration counts (rodent_pair: 100) — an
-        # unrolled Mosaic body would blow up code size and compile time
+        # rolled loop for big iteration counts — an unrolled Mosaic body
+        # would blow up code size and compile time. NOTE: no in-kernel
+        # early exit — Mosaic's while lowering crashes on large-tile
+        # carries (rodent_pair scale); budget-exceeding solves early-exit
+        # at the XLA level instead, by re-invoking the kernel with
+        # warmstart=x in chunks of <=16 unrolled iterations and testing
+        # the `done` output between invocations (solver._solve_newton_fused).
         carry = jax.lax.fori_loop(0, iters, lambda _, c: cg_body(c), carry)
     x, jar, mxa, force, cost, grad, mgrad, p, done = carry
+    done_ref[:] = jnp.broadcast_to(done, done_ref.shape)
 
     qfrc_constraint = jtmul(force)
     x_ref[:] = x
@@ -438,7 +494,7 @@ def _cg_core(
     jax.jit,
     static_argnames=(
         "iters", "ls_iters", "tol", "dt", "has_damping", "ell0", "ell_mu",
-        "ell_scale", "interpret",
+        "ell_scale", "stall_tol", "interpret",
     ),
 )
 def cg_solve_batched(
@@ -459,6 +515,8 @@ def cg_solve_batched(
     ell0: int = 0,
     ell_mu: tuple = (),
     ell_scale: tuple = (),
+    warmstart: jax.Array = None,  # (B, nv) qacc_warmstart or None
+    stall_tol: float = 0.0,
     interpret: bool = False,
 ):
     """Returns (qacc, efc_force, qfrc_constraint, qacc_smooth, qvel_new).
@@ -502,6 +560,10 @@ def cg_solve_batched(
     econp = pad(exists_con.astype(dtype), (B, Cp))
     fsp = pad(qfrc_smooth, (B, Vp))
     qvp = pad(qvel, (B, Vp))
+    has_warmstart = warmstart is not None
+    wsp = pad(
+        warmstart if has_warmstart else jnp.zeros((B, nv), dtype), (B, Vp)
+    )
     dampp = jnp.zeros((Vp,), dtype).at[:nv].set(damp.astype(dtype))
     dampt = jnp.broadcast_to(dampp[:, None], (Vp, LANE))
     mu_np = np.zeros(Cp)
@@ -529,6 +591,7 @@ def cg_solve_batched(
     econt = jnp.transpose(bpad(econp), (1, 0))
     fst = jnp.transpose(bpad(fsp), (1, 0))
     qvt = jnp.transpose(bpad(qvp), (1, 0))
+    wst = jnp.transpose(bpad(wsp), (1, 0))
 
     grid = (Bp // LANE,)
     mat_spec = pl.BlockSpec(
@@ -547,10 +610,10 @@ def cg_solve_batched(
         (Vp, LANE), lambda i: (0, 0), memory_space=pltpu.VMEM
     )
 
-    x_t, force_t, qfrc_t, a0_t, qvn_t = pl.pallas_call(
+    x_t, force_t, qfrc_t, a0_t, qvn_t, done_t = pl.pallas_call(
         functools.partial(
             _cg_kernel, nv, nefc, iters, ls_iters, tol, 1e-15, dt,
-            has_damping, ell0, nell,
+            has_damping, ell0, nell, has_warmstart, stall_tol,
         ),
         grid=grid,
         in_specs=[
@@ -566,19 +629,24 @@ def cg_solve_batched(
             dof_spec,
             dof_spec,
             shared_dof,
+            dof_spec,
         ],
-        out_specs=[dof_spec, row_spec, dof_spec, dof_spec, dof_spec],
+        out_specs=[dof_spec, row_spec, dof_spec, dof_spec, dof_spec,
+                   pl.BlockSpec((_SUBLANE, LANE), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)],
         out_shape=[
             jax.ShapeDtypeStruct((Vp, Bp), dtype),
             jax.ShapeDtypeStruct((Rp, Bp), dtype),
             jax.ShapeDtypeStruct((Vp, Bp), dtype),
             jax.ShapeDtypeStruct((Vp, Bp), dtype),
             jax.ShapeDtypeStruct((Vp, Bp), dtype),
+            jax.ShapeDtypeStruct((_SUBLANE, Bp), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((Vp, Vp, LANE), dtype)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=int(120e6)),
-    )(qMt, Jt, Dt, areft, existst, mut, sc1t, sc2t, econt, fst, qvt, dampt)
+    )(qMt, Jt, Dt, areft, existst, mut, sc1t, sc2t, econt, fst, qvt, dampt,
+      wst)
     force = jnp.transpose(force_t, (1, 0))[:B, :nefc]
     if nell:
         force = force[:, inv_perm]
@@ -588,6 +656,7 @@ def cg_solve_batched(
         jnp.transpose(qfrc_t, (1, 0))[:B, :nv],
         jnp.transpose(a0_t, (1, 0))[:B, :nv],
         jnp.transpose(qvn_t, (1, 0))[:B, :nv],
+        done_t[0, :B] > 0.5,
     )
 
 
@@ -691,11 +760,12 @@ def _assemble_qM_J(
 
 def _cg_fused_kernel(
     nv, nefc, iters, ls_iters, tol, minval, dt, has_damping, ell0, nell,
+    has_warmstart, stall_tol,
     nroots, root_bounds, md_groups, limit_writes,
     ft_ref, ct_ref, Bm_ref, jsign_ref, mdT_ref, szv_ref, arm_ref,
     D_ref, aref_ref, exists_ref, mu_ref, sc1_ref, sc2_ref, econ_ref,
-    qfrc_smooth_ref, qvel_ref, damp_ref,
-    x_ref, force_ref, qfrc_ref, a0_ref, qvel_new_ref,
+    qfrc_smooth_ref, qvel_ref, damp_ref, ws_ref,
+    x_ref, force_ref, qfrc_ref, a0_ref, qvel_new_ref, done_ref,
     J_scr, qM_scr, sweep_scr,
 ):
     _assemble_qM_J(
@@ -705,9 +775,11 @@ def _cg_fused_kernel(
     )
     _cg_core(
         nv, nefc, iters, ls_iters, tol, minval, dt, has_damping, ell0, nell,
+        has_warmstart, stall_tol,
         qM_scr[:], J_scr, D_ref, aref_ref, exists_ref, mu_ref, sc1_ref,
-        sc2_ref, econ_ref, qfrc_smooth_ref, qvel_ref, damp_ref, x_ref,
-        force_ref, qfrc_ref, a0_ref, qvel_new_ref, sweep_scr,
+        sc2_ref, econ_ref, qfrc_smooth_ref, qvel_ref, damp_ref, ws_ref,
+        x_ref, force_ref, qfrc_ref, a0_ref, qvel_new_ref, done_ref,
+        sweep_scr,
     )
 
 
@@ -716,7 +788,7 @@ def _cg_fused_kernel(
     static_argnames=(
         "iters", "ls_iters", "tol", "dt", "has_damping", "ell0", "ell_mu",
         "ell_scale", "row_slot", "sz", "root_bounds", "limit_dadr",
-        "interpret",
+        "stall_tol", "interpret",
     ),
 )
 def cg_solve_fused(
@@ -746,6 +818,8 @@ def cg_solve_fused(
     ell0: int = 0,
     ell_mu: tuple = (),
     ell_scale: tuple = (),
+    warmstart: jax.Array = None,  # (B, nv) qacc_warmstart or None
+    stall_tol: float = 0.0,
     interpret: bool = False,
 ):
     """cg_solve_batched with in-kernel qM/J assembly from low-rank factors.
@@ -825,6 +899,14 @@ def cg_solve_fused(
     )
     fst = jnp.transpose(bpad(pad(qfrc_smooth, (B, Vp))), (1, 0))
     qvt = jnp.transpose(bpad(pad(qvel, (B, Vp))), (1, 0))
+    has_warmstart = warmstart is not None
+    wst = jnp.transpose(
+        bpad(pad(
+            warmstart if has_warmstart else jnp.zeros((B, nv), dtype),
+            (B, Vp),
+        )),
+        (1, 0),
+    )
 
     dampp = jnp.zeros((Vp,), dtype).at[:nv].set(damp.astype(dtype))
     dampt = jnp.broadcast_to(dampp[:, None], (Vp, LANE))
@@ -857,11 +939,11 @@ def cg_solve_fused(
         return pl.BlockSpec((d0, d1), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
 
-    x_t, force_t, qfrc_t, a0_t, qvn_t = pl.pallas_call(
+    x_t, force_t, qfrc_t, a0_t, qvn_t, done_t = pl.pallas_call(
         functools.partial(
             _cg_fused_kernel, nv, nefc, iters, ls_iters, tol, 1e-15, dt,
-            has_damping, ell0, nell, nroots, tuple(root_bounds), md_groups,
-            limit_writes,
+            has_damping, ell0, nell, has_warmstart, stall_tol,
+            nroots, tuple(root_bounds), md_groups, limit_writes,
         ),
         grid=grid,
         in_specs=[
@@ -882,14 +964,17 @@ def cg_solve_fused(
             lane2(Vp),  # qfrc_smooth
             lane2(Vp),  # qvel
             shared2(Vp, LANE),  # damp
+            lane2(Vp),  # warmstart
         ],
-        out_specs=[lane2(Vp), lane2(Rp), lane2(Vp), lane2(Vp), lane2(Vp)],
+        out_specs=[lane2(Vp), lane2(Rp), lane2(Vp), lane2(Vp), lane2(Vp),
+                   lane2(_SUBLANE)],
         out_shape=[
             jax.ShapeDtypeStruct((Vp, Bp), dtype),
             jax.ShapeDtypeStruct((Rp, Bp), dtype),
             jax.ShapeDtypeStruct((Vp, Bp), dtype),
             jax.ShapeDtypeStruct((Vp, Bp), dtype),
             jax.ShapeDtypeStruct((Vp, Bp), dtype),
+            jax.ShapeDtypeStruct((_SUBLANE, Bp), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((Rp, Vp, LANE), dtype),  # J
@@ -900,7 +985,7 @@ def cg_solve_fused(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=int(120e6)),
     )(
         ft, ct, Bmt, jst, mdT, szt, armt, Dt, areft, existst, mut, sc1t,
-        sc2t, econt, fst, qvt, dampt,
+        sc2t, econt, fst, qvt, dampt, wst,
     )
     force = jnp.transpose(force_t, (1, 0))[:B, :nefc]
     if nell:
@@ -911,4 +996,5 @@ def cg_solve_fused(
         jnp.transpose(qfrc_t, (1, 0))[:B, :nv],
         jnp.transpose(a0_t, (1, 0))[:B, :nv],
         jnp.transpose(qvn_t, (1, 0))[:B, :nv],
+        done_t[0, :B] > 0.5,
     )

@@ -139,7 +139,8 @@ def _eval_cost_force(m, meta, layout, pairs_friction, exists_row, exists_con, ja
     return cost, force
 
 
-def _linesearch(m, meta, layout, friction, exists_row, exists_con, ctx, p, jar_p, mp, d: M.Data):
+def _linesearch(m, meta, friction, exists_row, exists_con, ctx, p, jar_p, mp,
+                efc_D):
     """Exact line search along p: bracket phi' sign change, safeguarded Newton.
 
     phi(alpha) is convex piecewise-smooth; dphi evaluates (phi', phi'') for a
@@ -160,10 +161,10 @@ def _linesearch(m, meta, layout, friction, exists_row, exists_con, ctx, p, jar_p
             r = meta.quad_rows
             active = (jar[..., r] < 0) & exists_row[r]
             dval = dval + jnp.sum(
-                jnp.where(active, d.efc_D[r] * jar[..., r] * jar_p[r], 0.0), -1
+                jnp.where(active, efc_D[r] * jar[..., r] * jar_p[r], 0.0), -1
             )
             ddval = ddval + jnp.sum(
-                jnp.where(active, d.efc_D[r] * jar_p[r] ** 2, 0.0), -1
+                jnp.where(active, efc_D[r] * jar_p[r] ** 2, 0.0), -1
             )
         if meta.ell_con.size:
             slots = meta.ell_con
@@ -180,7 +181,7 @@ def _linesearch(m, meta, layout, friction, exists_row, exists_con, ctx, p, jar_p
             tp_dot = jnp.sum(u_t * u_tp, -1)
             tpsqr = jnp.sum(u_tp * u_tp, -1)
             g = exists_con[slots]
-            dn = d.efc_D[rows[:, 0]]
+            dn = efc_D[rows[:, 0]]
             bottom = g & (mu * n + t <= 0)
             middle = g & ~bottom & (n < mu * t)
             dm = dn / jnp.maximum(1 + mu * mu, M.MINVAL)  # oracle-fitted
@@ -198,7 +199,7 @@ def _linesearch(m, meta, layout, friction, exists_row, exists_con, ctx, p, jar_p
                 ),
                 -1,
             )
-            d_all = d.efc_D[rows]
+            d_all = efc_D[rows]
             jar_all = jar[..., rows]
             dval = dval + jnp.sum(
                 jnp.where(bottom, jnp.sum(d_all * jar_all * jar_p[rows], -1), 0.0),
@@ -294,6 +295,8 @@ def solve(m: M.Model, d: M.Data) -> M.Data:
         )
     meta = _cone_meta(m, layout)
     if m.opt.solver == M.SOLVER_NEWTON:
+        if quad_kernel_eligible(m):
+            return _solve_newton_fused(m, d, layout, meta)
         return _solve_newton(m, d, layout, meta)
     if m.opt.solver != M.SOLVER_CG:
         raise NotImplementedError(
@@ -306,17 +309,18 @@ def solve(m: M.Model, d: M.Data) -> M.Data:
 
 
 def quad_kernel_eligible(m: M.Model) -> bool:
-    """True when the constraint cost is purely one-sided quadratic and the
-    iteration count is unrollable — the _solve_quad/megakernel path.
+    """True when the constraint cost fits the megakernel layout (one-sided
+    quadratic rows plus at most one uniform dim-3 elliptic block) and the
+    iteration count is unrollable — the _solve_quad / _solve_newton_fused
+    megakernel path.
 
     Models on this path skip materializing qMinv/qMhinv in forward():
     the solve computes qacc_smooth and the Euler velocity update itself.
     """
     if m.nv == 0:
         return False
-    if m.opt.solver != M.SOLVER_CG:
-        # Newton models dispatch to _solve_newton (and need qMinv /
-        # qacc_smooth materialized in forward(), which this flag gates)
+    if m.opt.solver not in (M.SOLVER_CG, M.SOLVER_NEWTON):
+        # PGS fails loudly in solve()
         return False
     layout = Cn.efc_layout(m)
     if layout.nefc == 0:
@@ -519,7 +523,7 @@ def _solve_quad(m: M.Model, d: M.Data, layout: Cn.EfcLayout) -> M.Data:
                 ell0=ell0, ell_mu=tuple(ell_mu.tolist()),
                 ell_scale=tuple(map(tuple, ell_scale.tolist())),
             )
-            return out, (True,) * 5
+            return out[:5], (True,) * 5
 
         # Map only the batched operands: e.g. for quad-only models e_con is
         # an unbatched bool[0] constant and must be passed through (in_axes
@@ -547,6 +551,218 @@ def _solve_quad(m: M.Model, d: M.Data, layout: Cn.EfcLayout) -> M.Data:
         exists_con,
         d.qfrc_smooth,
         d.qvel,
+        d.crb_f,
+        d.cdof,
+        con_A,
+    )
+    return d.replace(
+        qacc=x,
+        qfrc_constraint=qfrc,
+        efc_force=force,
+        qacc_smooth=a0,
+        qvel_next=qvel_next,
+    )
+
+
+# f32 stall floor for the megakernel's convergence freeze: relative cost
+# improvement below ~32 eps_f32 is rounding noise — further iterations
+# cannot move the iterate (see ops/cg._cg_core)
+_STALL_TOL_F32 = 4e-6
+
+
+def _solve_newton_fused(
+    m: M.Model, d: M.Data, layout: Cn.EfcLayout, meta: _ConeMeta
+) -> M.Data:
+    """Newton models whose constraint cost fits the megakernel layout.
+
+    Primal (unbatched / CPU, the oracle-parity path) and the non-Pallas
+    batched fallback run exact-Hessian Newton (_newton_iterate) with
+    mj_warmstart, plus the qacc_smooth and Euler implicit-damping products
+    the kernel fuses in. The batched TPU path runs the ops/cg megakernel —
+    preconditioned CG with warmstart and f32 stall-exit on the IDENTICAL
+    strictly convex primal cost, converging to the same optimum within
+    solver tolerance (equivalence tested in tests/test_newton_solver.py).
+    This is a documented performance dispatch, not a silent algorithm
+    substitution: per-env Newton's batched cost is max-lane iterations of
+    (B, nv, nv) Hessian GEMM + Cholesky round trips through HBM, while the
+    megakernel's whole solve stays VMEM-resident. BTT_NEWTON_XLA=1 forces
+    the per-env Newton path on TPU for A/B runs.
+    """
+    import os
+
+    nv = m.nv
+    dtype = d.qpos.dtype
+    nlim = int(layout.limit_rows.size)
+    iters = max(int(m.opt.iterations), 1)
+    ls_iters = max(int(m.opt.ls_iterations), 1)
+    tol = (
+        float(np.asarray(m.opt.tolerance))
+        * float(np.asarray(m.opt.meaninertia))
+        * max(1, nv)
+    )
+    dt = float(np.asarray(m.opt.timestep))
+    damp = np.asarray(m.dof_damping, np.float64) * dt
+    has_damping = bool(m.has_damping)
+    friction = (
+        m.pairs.friction[layout.con_pair].astype(dtype)
+        if m.ncon
+        else jnp.zeros((0, 5), dtype)
+    )
+    exists_row = d.efc_pos < d.efc_margin
+    if m.ncon:
+        includemargin = m.pairs.margin[layout.con_pair].astype(dtype)
+        exists_con = d.contact_dist < includemargin
+    else:
+        exists_con = jnp.zeros((0,), bool)
+
+    # megakernel statics (same wiring as _solve_quad)
+    nell = int(meta.ell_con.size)
+    quad_mask = np.zeros(layout.nefc, np.float64)
+    quad_mask[meta.quad_rows] = 1.0
+    if nell:
+        ell0 = int(meta.ell_rows.min())
+        cp = layout.con_pair[meta.ell_con]
+        ell_mu = np.asarray(m.pairs.friction, np.float64)[cp, 0]
+        fr = np.asarray(m.pairs.friction, np.float64)[cp, 0:2]
+        ell_scale = fr / ell_mu[:, None]
+    else:
+        ell0 = layout.nefc
+        ell_mu = np.zeros(0, np.float64)
+        ell_scale = np.zeros((0, 2), np.float64)
+    fstat = _fused_statics(m, layout)
+    armature = m.dof_armature
+    has_ws = d.qacc_warmstart is not None
+    force_xla = os.environ.get("BTT_NEWTON_XLA", "0") == "1"
+
+    def _primal(qM, Jc, jsign, D_, aref, exists, e_con, qfrc_smooth, qvel,
+                ws, f, cdof, con_A):
+        from brax_tracking_tpu.ops import cholesky as ops_chol
+
+        a0 = ops_chol.spd_solve(qM, qfrc_smooth)
+        x, force, qfrc = _newton_iterate(
+            m, layout, meta,
+            qM=qM, Jc=Jc, jsign=jsign, efc_D=D_, efc_aref=aref,
+            exists_row=exists, exists_con=e_con, friction=friction,
+            a0=a0, ws=ws if has_ws else None,
+        )
+        qfrc_total = qfrc_smooth + qfrc
+        if has_damping:
+            qvel_next = qvel + dt * ops_chol.spd_solve(
+                qM + jnp.diag(jnp.asarray(damp, qM.dtype)), qfrc_total
+            )
+        else:
+            qvel_next = qvel + dt * x
+        return x, force, qfrc, a0, qvel_next
+
+    @jax.custom_batching.custom_vmap
+    def newt(qM, Jc, jsign, D_, aref, exists, e_con, qfrc_smooth, qvel,
+             ws, f, cdof, con_A):
+        return _primal(qM, Jc, jsign, D_, aref, exists, e_con, qfrc_smooth,
+                       qvel, ws, f, cdof, con_A)
+
+    @newt.def_vmap
+    def _newt_vmap(
+        axis_size, in_batched, qM, Jc, jsign, D_, aref, exists, e_con,
+        qfrc_smooth, qvel, ws, f, cdof, con_A
+    ):
+        from brax_tracking_tpu.ops import cholesky as ops_chol
+
+        args = (qM, Jc, jsign, D_, aref, exists, e_con, qfrc_smooth,
+                qvel, ws, f, cdof, con_A)
+        # ws is an unbatched zeros placeholder when the model has no
+        # warmstart yet (first forward after make_data) — exempt it
+        need_batched = [
+            b for (b, a), name in zip(
+                zip(in_batched, args),
+                ("qM", "Jc", "jsign", "D", "aref", "exists", "e_con",
+                 "qfrc_smooth", "qvel", "ws", "f", "cdof", "con_A"),
+            )
+            if a.size and (name != "ws" or has_ws)
+        ]
+        if (
+            not force_xla
+            and all(need_batched)
+            and ops_chol._use_pallas(qM)
+        ):
+            from brax_tracking_tpu.ops import cg as ops_cg
+
+            exists_q = exists & (jnp.asarray(quad_mask) > 0.5)[None]
+            e_con_k = (
+                e_con[:, meta.ell_con] if nell
+                else jnp.zeros((axis_size, 0), bool)
+            )
+
+            # Chunked restart: Mosaic cannot lower an in-kernel while on
+            # large tiles, so the early exit lives at the XLA level — run
+            # the kernel in unrolled chunks of <=16 CG iterations, feed
+            # its qacc back in as the warmstart (the better-of-cost select
+            # makes this an exact resume; CG direction restarts, which is
+            # standard restarted-CG), and stop as soon as the kernel's
+            # per-env done flags all freeze or the model's iteration
+            # budget is spent. The LS budget is capped at 16 bracketed
+            # Newton steps per iteration — in f32 the safeguarded Newton
+            # on the piecewise-quadratic phi converges well inside that.
+            K = min(iters, 16)
+            n_chunks = -(-iters // K)
+
+            def chunk(x0):
+                return ops_cg.cg_solve_fused(
+                    f, cdof, con_A,
+                    jsign if nlim else jnp.zeros((axis_size, 0), qM.dtype),
+                    D_, aref, exists_q, e_con_k, qfrc_smooth, qvel,
+                    jnp.asarray(damp, qM.dtype),
+                    jnp.asarray(fstat["P"], qM.dtype),
+                    jnp.asarray(fstat["md"], qM.dtype),
+                    armature.astype(qM.dtype),
+                    iters=K, ls_iters=min(ls_iters, 16), tol=tol, dt=dt,
+                    has_damping=has_damping,
+                    row_slot=fstat["row_slot"], sz=fstat["sz"],
+                    root_bounds=fstat["root_bounds"],
+                    limit_dadr=fstat["limit_dadr"],
+                    ell0=ell0, ell_mu=tuple(ell_mu.tolist()),
+                    ell_scale=tuple(map(tuple, ell_scale.tolist())),
+                    warmstart=x0,
+                    stall_tol=_STALL_TOL_F32,
+                )
+
+            out0 = chunk(ws if has_ws else None)
+            if n_chunks > 1:
+                def cond(c):
+                    it = c[0]
+                    done = c[1][5]
+                    return (it < n_chunks) & ~jnp.all(done)
+
+                def body(c):
+                    it, out = c
+                    return it + 1, chunk(out[0])
+
+                _, out0 = jax.lax.while_loop(
+                    cond, body, (jnp.ones((), jnp.int32), out0)
+                )
+            return out0[:5], (True,) * 5
+
+        in_axes = tuple(0 if b else None for b in in_batched)
+        out = jax.vmap(_primal, in_axes=in_axes)(
+            qM, Jc, jsign, D_, aref, exists, e_con, qfrc_smooth, qvel, ws,
+            f, cdof, con_A
+        )
+        return out, (True,) * 5
+
+    con_A = d.con_A if d.con_A is not None else jnp.zeros(
+        (1, 0, 3, 6), dtype
+    )
+    ws = d.qacc_warmstart if has_ws else jnp.zeros(nv, dtype)
+    x, force, qfrc, a0, qvel_next = newt(
+        d.qM,
+        d.efc_Jc,
+        d.efc_jsign,
+        d.efc_D,
+        d.efc_aref,
+        exists_row,
+        exists_con,
+        d.qfrc_smooth,
+        d.qvel,
+        ws,
         d.crb_f,
         d.cdof,
         con_A,
@@ -797,22 +1013,15 @@ def _solve_newton(
 ):
     """Exact-Hessian Newton solve (mjSOL_NEWTON; engine_solver.c semantics).
 
-    Same convex primal cost as the CG path; the search direction is
-    H^-1 grad with H = M + J' W J where W holds D * active for quadratic
-    rows (limits, pyramidal / frictionless-normal contacts, bottom-zone
-    elliptic cones) plus dense dim x dim cone-Hessian blocks for
-    middle-zone elliptic contacts. The iteration runs under
-    ``lax.while_loop`` so converged problems exit after ~2-5 Newton steps
-    instead of burning a fixed iteration budget — under vmap the batch
-    steps until every env converges, which on TPU turns the 100-iteration
-    default (rodent_pair.xml) into a handful of large batched GEMM +
-    Cholesky ops on the MXU.
+    Thin Data wrapper over ``_newton_iterate``; used for Newton models that
+    are NOT megakernel-eligible (see ``solve``) and for iteration-count
+    profiling. Expects d.qacc_smooth materialized (step.forward does this
+    for non-kernel Newton models via ops/cholesky.spd_solve).
 
     Validated against C-oracle qacc/qfrc_constraint in
     tests/test_newton_solver.py.
     """
     dtype = d.qpos.dtype
-    nv = m.nv
     friction = (
         m.pairs.friction[layout.con_pair].astype(dtype)
         if m.ncon
@@ -824,15 +1033,51 @@ def _solve_newton(
         exists_con = d.contact_dist < includemargin
     else:
         exists_con = jnp.zeros((0,), bool)
+    out = _newton_iterate(
+        m, layout, meta,
+        qM=d.qM, Jc=d.efc_Jc, jsign=d.efc_jsign, efc_D=d.efc_D,
+        efc_aref=d.efc_aref, exists_row=exists_row, exists_con=exists_con,
+        friction=friction, a0=d.qacc_smooth, ws=d.qacc_warmstart,
+        count_only=count_only,
+    )
+    if count_only:
+        return out
+    x, force, qfrc_constraint = out
+    return d.replace(
+        qacc=x, qfrc_constraint=qfrc_constraint, efc_force=force
+    )
+
+
+def _newton_iterate(
+    m: M.Model, layout: Cn.EfcLayout, meta: _ConeMeta, *,
+    qM, Jc, jsign, efc_D, efc_aref, exists_row, exists_con, friction,
+    a0, ws, count_only: bool = False,
+):
+    """Exact-Hessian Newton on plain arrays (one env).
+
+    Same convex primal cost as the CG path; the search direction is
+    H^-1 grad with H = M + J' W J where W holds D * active for quadratic
+    rows (limits, pyramidal / frictionless-normal contacts, bottom-zone
+    elliptic cones) plus dense dim x dim cone-Hessian blocks for
+    middle-zone elliptic contacts. The iteration runs under
+    ``lax.while_loop`` so converged problems exit after ~2-5 Newton steps
+    instead of burning a fixed iteration budget — under vmap the batch
+    steps until the slowest env converges.
+
+    ``a0`` = qacc_smooth; ``ws`` = qacc_warmstart or None.
+    Returns (qacc, efc_force, qfrc_constraint), or the per-env iteration
+    count when ``count_only``.
+    """
+    dtype = qM.dtype
+    nv = m.nv
 
     # J splits into one-hot scalar-limit rows (rows [0, nlim): a diagonal
-    # contribution to H) and the dense block d.efc_Jc (ball limits +
-    # contacts, rows [nlim, nefc)) — assembling H from the parts instead
-    # of a materialized dense_J keeps the (B, nefc, nv) scatter out of HBM
-    # and shrinks the J'WJ GEMM to the dense rows only.
-    nlim = int(np.asarray(Cn.limit_dofs(m)).size)
+    # contribution to H) and the dense block Jc (ball limits + contacts,
+    # rows [nlim, nefc)) — assembling H from the parts instead of a
+    # materialized dense_J keeps the (B, nefc, nv) scatter out of HBM and
+    # shrinks the J'WJ GEMM to the dense rows only.
     dadr_lim = Cn.limit_dofs(m)  # static (nlim,) dof addresses
-    Jc = d.efc_Jc  # (nefc - nlim, nv)
+    nlim = int(np.asarray(dadr_lim).size)
     quad_w_mask = np.zeros(layout.nefc, bool)
     quad_w_mask[meta.quad_rows] = True
     nell = int(meta.ell_con.size)
@@ -847,10 +1092,32 @@ def _solve_newton(
         # tangent scale = [slide1, slide2] / mu (row i uses friction[i-1])
         sc = friction[meta.ell_con, 0:2] / mu[:, None]  # (nell, 2)
 
+    def jmul(x):
+        parts = []
+        if nlim:
+            parts.append(jsign * x[dadr_lim])
+        if Jc.shape[0]:
+            parts.append(Jc @ x)
+        return jnp.concatenate(parts) if parts else jnp.zeros((0,), dtype)
+
+    L1 = (
+        jnp.asarray(np.eye(nv, dtype=np.float64)[dadr_lim], dtype)
+        if nlim
+        else None
+    )
+
+    def jtmul(f):
+        out = jnp.zeros(nv, dtype)
+        if nlim:
+            out = out + (jsign * f[:nlim]) @ L1
+        if Jc.shape[0]:
+            out = out + Jc.T @ f[nlim:]
+        return out
+
     def hess(jar):
         """H = M + J' W J at the current jar (active set + cone zones)."""
         active = (jar < 0) & exists_row & jnp.asarray(quad_w_mask)
-        w = jnp.where(active, d.efc_D, 0.0)
+        w = jnp.where(active, efc_D, 0.0)
         if nell:
             n = jar[ell_rows[:, 0]]
             u = jar[ell_rows[:, 1:]] * sc
@@ -861,12 +1128,12 @@ def _solve_newton(
             middle = g_con & ~bottom & (n < mu * t)
             # bottom zone: independent quadratics on the cone's rows
             w = w.at[ell_rows].add(
-                jnp.where(bottom[:, None], d.efc_D[ell_rows], 0.0)
+                jnp.where(bottom[:, None], efc_D[ell_rows], 0.0)
             )
             # middle zone: dense 3x3 cone Hessian
             # B = dm h h' + c (diag(0, s^2) - ghat ghat'), h = [1, -mu g],
             # ghat = [0, g], g_i = s_i u_i / t, c = -dm (n - mu t) mu / t
-            dn = d.efc_D[ell_rows[:, 0]]
+            dn = efc_D[ell_rows[:, 0]]
             dm = dn / jnp.maximum(1 + mu * mu, M.MINVAL)
             nmt = n - mu * t
             g = sc * u / t[:, None]  # (nell, 2)
@@ -891,7 +1158,7 @@ def _solve_newton(
             H_ell = jnp.einsum("cin,cij,cjm->nm", Jb, B, Jb)
         else:
             H_ell = jnp.zeros((nv, nv), dtype)
-        H = d.qM + (Jc * w[nlim:, None]).T @ Jc + H_ell
+        H = qM + (Jc * w[nlim:, None]).T @ Jc + H_ell
         if nlim:
             # scalar limit rows are +/-1 one-hot: W contribution is a
             # diagonal scatter-add (jsign^2 == 1)
@@ -901,22 +1168,21 @@ def _solve_newton(
 
     def eval_ctx(x, jar, mxa):
         cost, force = _eval_cost_force(
-            m, meta, layout, friction, exists_row, exists_con, jar, d.efc_D
+            m, meta, layout, friction, exists_row, exists_con, jar, efc_D
         )
-        gauss = 0.5 * jnp.dot(x - d.qacc_smooth, mxa)
-        grad = mxa - Cn.jac_t_mul(m, d, force)
+        gauss = 0.5 * jnp.dot(x - a0, mxa)
+        grad = mxa - jtmul(force)
         return _Ctx(x, jar, mxa, force, cost + gauss, grad, grad)
 
-    jar0 = Cn.jac_mul(m, d, d.qacc_smooth) - d.efc_aref
-    ctx0 = eval_ctx(d.qacc_smooth, jar0, jnp.zeros(nv, dtype))
-    if d.qacc_warmstart is not None:
+    jar0 = jmul(a0) - efc_aref
+    ctx0 = eval_ctx(a0, jar0, jnp.zeros(nv, dtype))
+    if ws is not None:
         # mj_warmstart: start from whichever of {qacc_warmstart,
-        # qacc_smooth} has lower primal cost (both reach the same optimum —
-        # the problem is strictly convex — but the warm start is typically
+        # qacc_smooth} has lower primal cost (both reach the same optimum -
+        # the problem is strictly convex - but the warm start is typically
         # 1-2 Newton steps from it instead of 5-8)
-        ws = d.qacc_warmstart
-        jar_w = Cn.jac_mul(m, d, ws) - d.efc_aref
-        ctx_w = eval_ctx(ws, jar_w, d.qM @ (ws - d.qacc_smooth))
+        jar_w = jmul(ws) - efc_aref
+        ctx_w = eval_ctx(ws, jar_w, qM @ (ws - a0))
         better = ctx_w.cost < ctx0.cost
         ctx0 = jax.tree.map(
             lambda a, b: jnp.where(better, a, b), ctx_w, ctx0
@@ -937,24 +1203,20 @@ def _solve_newton(
     def body(carry):
         ctx, done, it = carry
         H = hess(ctx.jar)
-        # Batched TPU calls route to the lane-major Pallas sweep kernel
-        # (the H tile stays resident in VMEM for all nv elimination steps,
-        # ops/cholesky._inverse_kernel); unbatched/CPU oracle calls use
-        # scipy Cholesky. A plain-XLA sweep here would round-trip the
-        # whole (B, nv, nv) batch through HBM once per elimination step.
         from brax_tracking_tpu.ops import cholesky as ops_chol
 
-        # fused factor + single-rhs solve: Newton needs only H^-1 grad —
-        # one kernel does the blocked Cholesky (static trailing updates,
-        # ~3x fewer VPU FLOPs than the scalar rank-1 sweep) and both
-        # substitutions with U resident in VMEM; H changes every
-        # iteration, so unlike qM a full inverse is never amortized
+        # fused factor + single-rhs solve: Newton needs only H^-1 grad -
+        # one Pallas kernel (batched TPU) does the blocked Cholesky
+        # (static trailing updates, ~3x fewer VPU FLOPs than the scalar
+        # rank-1 sweep) and both substitutions with U resident in VMEM;
+        # H changes every iteration, so unlike qM a full inverse is never
+        # amortized. Unbatched/CPU oracle calls use scipy Cholesky.
         p = -ops_chol.spd_solve(H, ctx.grad)
-        jar_p = Cn.jac_mul(m, d, p)
-        mp = d.qM @ p
+        jar_p = jmul(p)
+        mp = qM @ p
         alpha = _linesearch(
-            m, meta, layout, friction, exists_row, exists_con, ctx, p,
-            jar_p, mp, d,
+            m, meta, friction, exists_row, exists_con, ctx, p,
+            jar_p, mp, efc_D,
         )
         new_ctx = eval_ctx(
             ctx.x + alpha * p, ctx.jar + alpha * jar_p, ctx.mxa + alpha * mp
@@ -974,10 +1236,7 @@ def _solve_newton(
     )
     if count_only:
         return it
-    qfrc_constraint = Cn.jac_t_mul(m, d, ctx.force)
-    return d.replace(
-        qacc=ctx.x, qfrc_constraint=qfrc_constraint, efc_force=ctx.force
-    )
+    return ctx.x, ctx.force, jtmul(ctx.force)
 
 
 def _solve_xla(m: M.Model, d: M.Data, layout: Cn.EfcLayout, meta: _ConeMeta) -> M.Data:
@@ -1028,7 +1287,8 @@ def _solve_xla(m: M.Model, d: M.Data, layout: Cn.EfcLayout, meta: _ConeMeta) -> 
         jar_p = Cn.jac_mul(m, d, p)
         mp = d.qM @ p
         alpha = _linesearch(
-            m, meta, layout, friction, exists_row, exists_con, ctx, p, jar_p, mp, d
+            m, meta, friction, exists_row, exists_con, ctx, p, jar_p, mp,
+            d.efc_D,
         )
         x_new = ctx.x + alpha * p
         new_ctx = eval_ctx(x_new, ctx.jar + alpha * jar_p, ctx.mxa + alpha * mp)

@@ -58,12 +58,15 @@ def forward(m: M.Model, d: M.Data) -> M.Data:
     from brax_tracking_tpu.physics import sensor as Sn
 
     quad_kernel = S.quad_kernel_eligible(m)
+    newton = m.opt.solver == M.SOLVER_NEWTON
     d = fwd_position_smooth(m, d)
     d = C.collision(m, d)
     d = D.crb(m, d)
-    if not quad_kernel:
+    if not quad_kernel and not newton:
         # the quad-kernel solve path computes M^-1 products internally
-        # (in VMEM on TPU) — no materialized inverses needed
+        # (in VMEM on TPU); the Newton path needs only single-rhs M^-1
+        # products (below) — materialized inverses are the XLA-CG path's
+        # per-iteration preconditioner only
         d = D.invert_m(m, d)
     d = fwd_velocity_smooth(m, d)
     d = P.passive(m, d)
@@ -73,6 +76,11 @@ def forward(m: M.Model, d: M.Data) -> M.Data:
     qfrc_smooth = d.qfrc_passive - d.qfrc_bias + d.qfrc_actuator
     if quad_kernel:
         d = d.replace(qfrc_smooth=qfrc_smooth)  # qacc_smooth set by solve
+    elif newton:
+        from brax_tracking_tpu.ops import cholesky as ops_chol
+
+        qacc_smooth = ops_chol.spd_solve(d.qM, qfrc_smooth)
+        d = d.replace(qfrc_smooth=qfrc_smooth, qacc_smooth=qacc_smooth)
     else:
         qacc_smooth = D.solve_m(m, d, qfrc_smooth)
         d = d.replace(qfrc_smooth=qfrc_smooth, qacc_smooth=qacc_smooth)
@@ -142,9 +150,18 @@ def step(m: M.Model, d: M.Data) -> M.Data:
         # Implicit joint damping (MuJoCo Euler): damping already contributes
         # -B v_t inside qfrc_smooth, so the implicit velocity update is
         #   v' = v + h (M + hB)^-1 (qfrc_smooth + qfrc_constraint).
-        # (M + hB)^-1 was produced alongside qMinv (dynamics.invert_m).
         qfrc = d.qfrc_smooth + d.qfrc_constraint
-        qvel_new = d.qvel + dt * (d.qMhinv @ qfrc)
+        if d.qMhinv is not None:
+            # (M + hB)^-1 was produced alongside qMinv (dynamics.invert_m)
+            qvel_new = d.qvel + dt * (d.qMhinv @ qfrc)
+        else:
+            # Newton path: single rhs — fused factor+solve, no inverse
+            from brax_tracking_tpu.ops import cholesky as ops_chol
+
+            damp = m.dof_damping.astype(d.qpos.dtype) * dt
+            qvel_new = d.qvel + dt * ops_chol.spd_solve(
+                d.qM + jnp.diag(damp), qfrc
+            )
     else:
         qvel_new = d.qvel + dt * d.qacc
 

@@ -96,23 +96,30 @@ def main():
     from brax_tracking_tpu.physics import collision as C
     from brax_tracking_tpu.physics import passive as P
 
+    from brax_tracking_tpu.ops import cholesky as ops_chol
+    newton = int(m.opt.solver) == 2  # M.SOLVER_NEWTON
+
     def _smooth_tail(d):
         qfrc_smooth = d.qfrc_passive - d.qfrc_bias + d.qfrc_actuator
-        qacc_smooth = D.solve_m(m, d, qfrc_smooth)
+        if newton:
+            qacc_smooth = ops_chol.spd_solve(d.qM, qfrc_smooth)
+        else:
+            qacc_smooth = D.solve_m(m, d, qfrc_smooth)
         return d.replace(qfrc_smooth=qfrc_smooth, qacc_smooth=qacc_smooth)
 
     stages = [
         ("fk (fwd_position)", lambda d: St.fwd_position_smooth(m, d)),
         ("collision", lambda d: C.collision(m, d)),
         ("crb", lambda d: D.crb(m, d)),
-        ("invert_m", lambda d: D.invert_m(m, d)),
         ("fwd_velocity", lambda d: St.fwd_velocity_smooth(m, d)),
         ("passive", lambda d: P.passive(m, d)),
         ("rne", lambda d: D.rne(m, d)),
         ("actuation", lambda d: A.fwd_actuation(m, d)),
-        ("smooth tail (solve_m)", _smooth_tail),
+        ("smooth tail (M^-1 qfrc)", _smooth_tail),
         ("make_constraint", lambda d: Cn.make_constraint(m, d)),
     ]
+    if not newton:
+        stages.insert(3, ("invert_m", lambda d: D.invert_m(m, d)))
 
     def presolve(d, a):
         d = d.replace(ctrl=a.astype(d.qpos.dtype))

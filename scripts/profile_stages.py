@@ -23,7 +23,16 @@ import jax.numpy as jnp
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from brax_tracking_tpu.cache_guard import ensure_clean_cache
+
+jax.config.update(
+    "jax_compilation_cache_dir", ensure_clean_cache("/tmp/btt_jax_cache")
+)
+
 B = int(sys.argv[1]) if len(sys.argv) > 1 else None
+# inner scan reps per stage: amortizes the per-dispatch overhead (the
+# axon tunnel costs ~30 ms per call — comparable to a whole stage)
+REPS = int(os.environ.get("PROFILE_REPS", 20))
 
 
 def timeit(fn, *args, reps=5, warm=1):
@@ -81,7 +90,20 @@ def main():
 
     state = roll(state, jax.random.PRNGKey(123))
     jax.block_until_ready(state.obs)
-    t_full, _ = timeit(ctrl_step, state, jax.random.PRNGKey(99))
+
+    @jax.jit
+    def ctrl_rep(state, key):
+        def body(carry, _):
+            s, k = carry
+            k, sub = jax.random.split(k)
+            a = jax.random.uniform(sub, (B, env.action_size), minval=-0.2,
+                                   maxval=0.2)
+            return (jax.vmap(env.step)(s, a), k), None
+        (state, _), _ = jax.lax.scan(body, (state, key), (), length=REPS)
+        return state
+
+    t_full, _ = timeit(ctrl_rep, state, jax.random.PRNGKey(99))
+    t_full /= REPS
 
     a = jax.random.uniform(jax.random.PRNGKey(7), (B, env.action_size),
                            minval=-0.2, maxval=0.2).astype(state.obs.dtype)
@@ -90,9 +112,19 @@ def main():
     stages = []
 
     def stage(name, fn, dprev):
-        f = jax.jit(jax.vmap(lambda d: fn(d)))
-        t, dn = timeit(f, dprev)
-        stages.append((name, t))
+        fb = jax.vmap(lambda d: fn(d))
+        dn = jax.jit(fb)(dprev)  # output structure = scan carry type
+
+        # time REPS chained applications in ONE dispatch: each iteration
+        # consumes the previous output, so XLA cannot CSE the bodies and
+        # the per-call tunnel overhead is amortized away
+        @jax.jit
+        def rep(d):
+            return jax.lax.scan(lambda dd, _: (fb(dd), None), d, (),
+                                length=REPS)[0]
+
+        t, _ = timeit(rep, dn)
+        stages.append((name, t / REPS))
         return dn
 
     d = d0
@@ -126,7 +158,16 @@ def main():
                              unroll=env._n_frames <= 8)
         return dd
 
-    t_phys, _ = timeit(jax.jit(jax.vmap(substeps)), d0)
+    sub_b = jax.vmap(substeps)
+    d1 = jax.jit(sub_b)(d0)
+
+    @jax.jit
+    def phys_rep(d):
+        return jax.lax.scan(lambda dd, _: (sub_b(dd), None), d, (),
+                            length=REPS)[0]
+
+    t_phys, _ = timeit(phys_rep, d1)
+    t_phys /= REPS
     stages_total = sum(t for _, t in stages)
 
     print(f"\nfull control step: {t_full*1e3:8.2f} ms  "

@@ -226,3 +226,50 @@ def test_solver_dispatch_fused_branch(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(out.qpos), np.asarray(ref.qpos), rtol=1e-9, atol=1e-12
     )
+
+
+def test_newton_dispatch_kernel_equivalence(monkeypatch):
+    """Newton models on the megakernel layout: the batched TPU path runs
+    the ops/cg megakernel (CG + warmstart + f32 stall-exit) on the SAME
+    strictly convex primal cost as the exact-Hessian Newton primal —
+    qacc must agree to solver-tolerance scale (documented performance
+    dispatch, solver._solve_newton_fused)."""
+    import functools
+
+    from brax_tracking_tpu.ops import cg as ops_cg
+    from brax_tracking_tpu.ops import cholesky as ops_chol
+
+    model, mj = bspec.build_model(
+        RODENT_PAIR, dtype=jnp.float32, return_mj=True
+    )
+    assert int(model.opt.solver) == 2  # XML defaults -> Newton/100
+    assert S.quad_kernel_eligible(model)
+    B = 2
+    rng = np.random.RandomState(1)
+    d0 = bstep.make_data(model)
+    dB = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), d0)
+    qpos = np.tile(np.asarray(mj.qpos0)[None], (B, 1))
+    free = np.nonzero(np.asarray(model.jnt_type) == 0)[0]
+    for j in free:
+        qadr = int(model.jnt_qposadr[j])
+        qpos[:, qadr + 2] -= 0.012
+    dB = dB.replace(
+        qpos=jnp.asarray(qpos, jnp.float32),
+        qvel=jnp.asarray(rng.uniform(-0.3, 0.3, (B, mj.nv)), jnp.float32),
+        ctrl=jnp.asarray(rng.uniform(-0.2, 0.2, (B, mj.nu)), jnp.float32),
+    )
+    step = jax.vmap(lambda dd: bstep.step(model, dd))
+    d1 = step(dB)  # populates qacc_warmstart
+    ref = step(d1)  # per-env exact-Hessian Newton (primal fallback)
+
+    orig = ops_cg.cg_solve_fused
+    monkeypatch.setattr(ops_chol, "_use_pallas", lambda x: True)
+    monkeypatch.setattr(
+        ops_cg, "cg_solve_fused", functools.partial(orig, interpret=True)
+    )
+    out = jax.jit(step)(d1)
+
+    scale = float(jnp.abs(ref.qacc).max())
+    assert float(jnp.abs(out.qacc - ref.qacc).max()) / scale < 5e-3
+    vscale = max(1e-9, float(jnp.abs(ref.qvel).max()))
+    assert float(jnp.abs(out.qvel - ref.qvel).max()) / vscale < 3e-2
