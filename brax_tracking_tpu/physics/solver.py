@@ -706,6 +706,10 @@ def _solve_newton_fused(
             n_chunks = -(-iters // K)
 
             def chunk(x0):
+                # has_damping=False: the in-kernel Euler tail would redo a
+                # full (M + hB) sweep inversion EVERY chunk; the implicit-
+                # damping update is a single-rhs solve done once after the
+                # loop instead
                 return ops_cg.cg_solve_fused(
                     f, cdof, con_A,
                     jsign if nlim else jnp.zeros((axis_size, 0), qM.dtype),
@@ -715,7 +719,7 @@ def _solve_newton_fused(
                     jnp.asarray(fstat["md"], qM.dtype),
                     armature.astype(qM.dtype),
                     iters=K, ls_iters=min(ls_iters, 16), tol=tol, dt=dt,
-                    has_damping=has_damping,
+                    has_damping=False,
                     row_slot=fstat["row_slot"], sz=fstat["sz"],
                     root_bounds=fstat["root_bounds"],
                     limit_dadr=fstat["limit_dadr"],
@@ -725,7 +729,12 @@ def _solve_newton_fused(
                     stall_tol=_STALL_TOL_F32,
                 )
 
-            out0 = chunk(ws if has_ws else None)
+            # always-warmstarted kernel (zeros when the model has none:
+            # x=0 is just a candidate the better-of-cost select discards)
+            # -> ONE Mosaic program instead of a ws/no-ws pair; pair-scale
+            # kernel compiles cost ~10 min each through the axon tunnel
+            ws0 = ws if has_ws else jnp.zeros_like(qfrc_smooth)
+            out0 = chunk(ws0)
             if n_chunks > 1:
                 def cond(c):
                     it = c[0]
@@ -739,7 +748,16 @@ def _solve_newton_fused(
                 _, out0 = jax.lax.while_loop(
                     cond, body, (jnp.ones((), jnp.int32), out0)
                 )
-            return out0[:5], (True,) * 5
+            x_k, force_k, qfrc_k, a0_k = out0[0], out0[1], out0[2], out0[3]
+            if has_damping:
+                qfrc_total = qfrc_smooth + qfrc_k
+                mh = qM + jnp.diag(jnp.asarray(damp, qM.dtype))[None]
+                qvn_k = qvel + dt * jax.vmap(ops_chol.spd_solve)(
+                    mh, qfrc_total
+                )
+            else:
+                qvn_k = out0[4]
+            return (x_k, force_k, qfrc_k, a0_k, qvn_k), (True,) * 5
 
         in_axes = tuple(0 if b else None for b in in_batched)
         out = jax.vmap(_primal, in_axes=in_axes)(

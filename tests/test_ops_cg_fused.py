@@ -263,9 +263,14 @@ def test_newton_dispatch_kernel_equivalence(monkeypatch):
     ref = step(d1)  # per-env exact-Hessian Newton (primal fallback)
 
     orig = ops_cg.cg_solve_fused
+    orig_fs = ops_chol.factor_solve_batched
     monkeypatch.setattr(ops_chol, "_use_pallas", lambda x: True)
     monkeypatch.setattr(
         ops_cg, "cg_solve_fused", functools.partial(orig, interpret=True)
+    )
+    monkeypatch.setattr(
+        ops_chol, "factor_solve_batched",
+        functools.partial(orig_fs, interpret=True),
     )
     out = jax.jit(step)(d1)
 
