@@ -8,10 +8,13 @@ reference's exact .h5 layout (preprocessing/preprocess.py:66-74 reads
 contacts, joint coupling and non-smooth velocities, so training against it
 exercises the same feature/velocity extraction paths real mocap would.
 
-Usage: python scripts/make_demo_stac.py [out.h5] [n_frames] [rodent|fly]
-Defaults: data/Rodent/transform_snips.h5, 250 frames @ 50 Hz, rodent.
-``fly`` rolls the TETHERED fly (free joint stripped, like FlyTethered)
-so the clip matches the reference's transform_tethered layout.
+Usage: python scripts/make_demo_stac.py [out.h5] [n_frames] [rodent|fly] [amp]
+Defaults: data/Rodent/transform_snips.h5, 250 frames @ 50 Hz, rodent,
+amp=1.0 (actuation amplitude scale — raise it for a clip vigorous enough
+that a passive/random policy tracks poorly, so learning curves have
+headroom). ``fly`` rolls the TETHERED fly (free joint stripped, like
+FlyTethered) so the clip matches the reference's transform_tethered
+layout.
 """
 
 from __future__ import annotations
@@ -29,6 +32,7 @@ def main() -> str:
     out = sys.argv[1] if len(sys.argv) > 1 else "data/Rodent/transform_snips.h5"
     n_frames = int(sys.argv[2]) if len(sys.argv) > 2 else 250
     which = sys.argv[3] if len(sys.argv) > 3 else "rodent"
+    amp_scale = float(sys.argv[4]) if len(sys.argv) > 4 else 1.0
 
     import jax
 
@@ -66,7 +70,7 @@ def main() -> str:
     rng = np.random.RandomState(17)
     phase = rng.uniform(0, 2 * np.pi, mj_model.nu)
     freq = rng.uniform(0.5, 2.5, mj_model.nu)  # slow, gait-scale motion
-    amp = rng.uniform(0.15, 0.45, mj_model.nu)
+    amp = rng.uniform(0.15, 0.45, mj_model.nu) * amp_scale
     if which == "fly":
         amp *= 0.5  # milligram-scale limbs: keep motion gait-scale
 
