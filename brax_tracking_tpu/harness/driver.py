@@ -356,6 +356,7 @@ def main(argv=None) -> Dict:
         normalize_observations=bool(tr.get("normalize_observations", True)),
         reward_scaling=float(tr.get("reward_scaling", 1.0)),
         clipping_epsilon=float(tr.get("clipping_epsilon", 0.3)),
+        deterministic_eval=bool(tr.get("deterministic_eval", False)),
         network_factory=network_factory,
         progress_fn=progress_fn,
         policy_params_fn=policy_params_fn,

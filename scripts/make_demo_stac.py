@@ -44,12 +44,13 @@ def main() -> str:
     import brax_tracking_tpu.physics.spec as bspec
     from brax_tracking_tpu.data import h5io
 
-    if which == "fly":
-        # tethered fly: free joint stripped, like FlyTethered's model
+    if which in ("fly", "fly_free"):
+        # tethered fly: free joint stripped, like FlyTethered's model;
+        # fly_free keeps the free root (FlyFree / train_fly_freejnt)
         _, mj_model = bspec.build_model(
             "/root/reference/assets/fruitfly/fruitfly_force_fast.xml",
             dtype=jnp.float32,
-            free_jnt=False,
+            free_jnt=(which == "fly_free"),
             return_mj=True,
         )
         mjd = mujoco.MjData(mj_model)
@@ -71,7 +72,7 @@ def main() -> str:
     phase = rng.uniform(0, 2 * np.pi, mj_model.nu)
     freq = rng.uniform(0.5, 2.5, mj_model.nu)  # slow, gait-scale motion
     amp = rng.uniform(0.15, 0.45, mj_model.nu) * amp_scale
-    if which == "fly":
+    if which in ("fly", "fly_free"):
         amp *= 0.5  # milligram-scale limbs: keep motion gait-scale
 
     mocap_dt = 0.02  # 50 Hz, configs/dataset/rodent.yaml mocap_hz
