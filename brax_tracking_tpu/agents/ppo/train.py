@@ -23,8 +23,9 @@ from __future__ import annotations
 
 import functools
 import logging
+import os
 import time
-from typing import Any, Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -32,16 +33,16 @@ import numpy as np
 import optax
 from flax import struct
 from jax.sharding import NamedSharding, PartitionSpec as P
-from brax_tracking_tpu.distributed.mesh import shard_map_compat
 
 from brax_tracking_tpu.agents.ppo import losses as ppo_losses
 from brax_tracking_tpu.agents.ppo import networks as ppo_networks
 from brax_tracking_tpu.distributed import mesh as dmesh
+from brax_tracking_tpu.distributed.mesh import shard_map_compat
 from brax_tracking_tpu.envs import wrappers
 from brax_tracking_tpu.envs.base import Env
 from brax_tracking_tpu.training import acting, checkpoint, gradients
 from brax_tracking_tpu.training import running_statistics
-from brax_tracking_tpu.training.types import Metrics, PRNGKey
+from brax_tracking_tpu.training.types import Metrics
 
 _logger = logging.getLogger(__name__)
 
@@ -67,29 +68,33 @@ def train(
     environment: Env,
     num_timesteps: int,
     episode_length: int,
-    action_repeat: int = 1,
+    # --- rollout geometry -------------------------------------------------
     num_envs: int = 1,
-    max_devices_per_host: Optional[int] = None,
-    num_eval_envs: int = 128,
-    learning_rate: float = 1e-4,
-    entropy_cost: float = 1e-4,
-    discounting: float = 0.9,
-    seed: int = 0,
     unroll_length: int = 10,
+    action_repeat: int = 1,
+    # --- optimization -----------------------------------------------------
+    learning_rate: float = 1e-4,
     batch_size: int = 32,
     num_minibatches: int = 16,
     num_updates_per_batch: int = 2,
-    num_evals: int = 1,
-    num_resets_per_eval: int = 0,
-    normalize_observations: bool = False,
+    entropy_cost: float = 1e-4,
+    discounting: float = 0.9,
     reward_scaling: float = 1.0,
     clipping_epsilon: float = 0.3,
     gae_lambda: float = 0.95,
+    normalize_advantage: bool = True,
+    normalize_observations: bool = False,
+    # --- evaluation -------------------------------------------------------
+    num_evals: int = 1,
+    num_eval_envs: int = 128,
+    num_resets_per_eval: int = 0,
     deterministic_eval: bool = False,
+    eval_env: Optional[Env] = None,
+    # --- plumbing ---------------------------------------------------------
+    seed: int = 0,
+    max_devices_per_host: Optional[int] = None,
     network_factory: Callable = ppo_networks.make_ppo_networks,
     progress_fn: Callable[[int, Metrics], None] = lambda *args: None,
-    normalize_advantage: bool = True,
-    eval_env: Optional[Env] = None,
     policy_params_fn: Callable[..., None] = lambda *args: None,
     randomization_fn: Optional[Callable] = None,
     restore_checkpoint_path: Optional[str] = None,
@@ -103,8 +108,9 @@ def train(
     ``mesh`` lets callers supply a premade device mesh (tests use an 8-way
     virtual CPU mesh; the driver's dryrun uses N virtual devices).
     """
-    assert batch_size * num_minibatches % num_envs == 0
-    xt = time.time()
+    if (batch_size * num_minibatches) % num_envs != 0:
+        raise ValueError("batch_size * num_minibatches must divide by num_envs")
+    t_start = time.time()
 
     if mesh is None:
         mesh = dmesh.make_train_mesh(max_devices_per_host=max_devices_per_host)
@@ -119,54 +125,53 @@ def train(
         process_id,
     )
 
-    env_step_per_training_step = (
-        batch_size * unroll_length * num_minibatches * action_repeat
+    # Step accounting (custom_ppo.py:172-175): one training step consumes
+    # minibatches*batch rows of unroll_length transitions each.
+    steps_per_train_step = (
+        num_minibatches * batch_size * unroll_length * action_repeat
     )
-    num_evals_after_init = max(num_evals - 1, 1)
-    num_training_steps_per_epoch = int(
-        np.ceil(
-            num_timesteps
-            / (
-                num_evals_after_init
-                * env_step_per_training_step
-                * max(num_resets_per_eval, 1)
-            )
-        )
+    epochs = max(num_evals - 1, 1)
+    resets_per_epoch = max(num_resets_per_eval, 1)
+    # ceil-divide so the requested step budget is always reached
+    train_steps_per_epoch = -(
+        -num_timesteps // (epochs * steps_per_train_step * resets_per_epoch)
     )
 
     # RNG discipline (custom_ppo.py:189-197): global stream for identical
     # network init everywhere; local stream decorrelates env rollouts. With
     # a single-controller global mesh the env keys are themselves global
     # (sharded), which subsumes the reference's per-process fold.
-    key = jax.random.PRNGKey(seed)
-    global_key, local_key = jax.random.split(key)
-    del key
-    local_key, key_env, eval_key = jax.random.split(local_key, 3)
-    key_policy, key_value = jax.random.split(global_key)
-    del global_key
+    root_rng = jax.random.PRNGKey(seed)
+    init_rng, run_rng = jax.random.split(root_rng)
+    del root_rng
+    run_rng, env_rng, eval_rng = jax.random.split(run_rng, 3)
+    policy_rng, value_rng = jax.random.split(init_rng)
+    del init_rng
 
-    assert num_envs % num_shards == 0
-    assert (batch_size * num_minibatches) % num_envs == 0
-    local_envs = num_envs // num_shards
+    if num_envs % num_shards != 0:
+        raise ValueError(f"num_envs={num_envs} not divisible by {num_shards} shards")
+    envs_per_shard = num_envs // num_shards
+
+    wrap_for_training = functools.partial(
+        wrappers.wrap,
+        episode_length=episode_length,
+        action_repeat=action_repeat,
+    )
 
     v_randomization_fn = None
     if randomization_fn is not None:
-        randomization_rng = jax.random.split(key_env, local_envs)
-        v_randomization_fn = functools.partial(randomization_fn, rng=randomization_rng)
+        v_randomization_fn = functools.partial(
+            randomization_fn, rng=jax.random.split(env_rng, envs_per_shard)
+        )
 
-    env = wrappers.wrap(
-        environment,
-        episode_length=episode_length,
-        action_repeat=action_repeat,
-        randomization_fn=v_randomization_fn,
-    )
+    env = wrap_for_training(environment, randomization_fn=v_randomization_fn)
 
     # --- env state: global array sharded over the env axis ---------------
-    key_envs = jax.random.split(key_env, num_envs)
+    per_env_rngs = jax.random.split(env_rng, num_envs)
     keys_sharded = _global_array(
-        lambda: jax.device_get(key_envs),
-        key_envs.shape,
-        key_envs.dtype,
+        lambda: jax.device_get(per_env_rngs),
+        per_env_rngs.shape,
+        per_env_rngs.dtype,
         mesh.env_sharded,
     )
     reset_fn = jax.jit(
@@ -177,18 +182,16 @@ def train(
     env_state = reset_fn(keys_sharded)
 
     obs_size = env_state.obs.shape[-1]
-    normalize = lambda x, y: x
-    if normalize_observations:
-        normalize = running_statistics.normalize
+    preprocess = (
+        running_statistics.normalize if normalize_observations else (lambda x, y: x)
+    )
     ppo_network = network_factory(
-        obs_size, env.action_size, preprocess_observations_fn=normalize
+        obs_size, env.action_size, preprocess_observations_fn=preprocess
     )
     make_policy = ppo_networks.make_inference_fn(ppo_network)
-
     optimizer = optax.adam(learning_rate=learning_rate)
 
-    loss_fn = functools.partial(
-        ppo_losses.compute_ppo_loss,
+    loss_hparams = dict(
         ppo_network=ppo_network,
         entropy_cost=entropy_cost,
         discounting=discounting,
@@ -197,22 +200,26 @@ def train(
         clipping_epsilon=clipping_epsilon,
         normalize_advantage=normalize_advantage,
     )
-
-    gradient_update_fn = gradients.gradient_update_fn(
+    loss_fn = functools.partial(ppo_losses.compute_ppo_loss, **loss_hparams)
+    update_params = gradients.gradient_update_fn(
         loss_fn, optimizer, pmap_axis_name=axis, has_aux=True
     )
 
-    def minibatch_step(carry, data, normalizer_params):
-        optimizer_state, params, key = carry
-        key, key_loss = jax.random.split(key)
-        (_, metrics), params, optimizer_state = gradient_update_fn(
-            params, normalizer_params, data, key_loss, optimizer_state=optimizer_state
-        )
-        return (optimizer_state, params, key), metrics
+    def eval_params(ts):
+        """(normalizer, policy) tuple — the inference-side parameter view."""
+        return (ts.normalizer_params, ts.params.policy)
 
-    def sgd_step(carry, unused_t, data, normalizer_params):
-        optimizer_state, params, key = carry
-        key, key_perm, key_grad = jax.random.split(key, 3)
+    def minibatch_step(carry, mb, normalizer_params):
+        opt_state, params, rng = carry
+        rng, loss_rng = jax.random.split(rng)
+        (_, metrics), params, opt_state = update_params(
+            params, normalizer_params, mb, loss_rng, optimizer_state=opt_state
+        )
+        return (opt_state, params, rng), metrics
+
+    def sgd_step(carry, data, normalizer_params):
+        opt_state, params, rng = carry
+        rng, perm_rng, grad_rng = jax.random.split(rng, 3)
 
         # Permute INDICES and gather one minibatch per scan step instead of
         # materializing a fully-shuffled copy of the (multi-GB) batch: same
@@ -220,62 +227,58 @@ def train(
         # (custom_ppo.py:272-277 — jax permutes arrays via exactly this
         # index permutation), but the peak memory is one minibatch, which is
         # what lets the 2048-env config fit a single chip's HBM.
-        n_rows = data.discount.shape[0]
-        perm = jax.random.permutation(key_perm, n_rows)
-        minibatch_idx = jnp.reshape(perm, (num_minibatches, -1))
+        row_perm = jax.random.permutation(perm_rng, data.discount.shape[0])
+        mb_rows = row_perm.reshape(num_minibatches, -1)
 
-        def gathered_step(carry, idx):
-            mb = jax.tree_util.tree_map(lambda x: x[idx], data)
-            return minibatch_step(carry, mb, normalizer_params=normalizer_params)
+        def take_rows_step(c, rows):
+            mb = jax.tree_util.tree_map(lambda x: x[rows], data)
+            return minibatch_step(c, mb, normalizer_params=normalizer_params)
 
-        (optimizer_state, params, _), metrics = jax.lax.scan(
-            gathered_step,
-            (optimizer_state, params, key_grad),
-            minibatch_idx,
+        (opt_state, params, _), metrics = jax.lax.scan(
+            take_rows_step,
+            (opt_state, params, grad_rng),
+            mb_rows,
             length=num_minibatches,
         )
-        return (optimizer_state, params, key), metrics
+        return (opt_state, params, rng), metrics
 
-    def rollout_step(training_state, state, key):
+    n_unrolls = (batch_size * num_minibatches) // num_envs
+
+    def rollout_step(training_state, state, rng):
         """Rollout + reshape + normalizer update (the acting half)."""
-        key_sgd, key_generate_unroll, new_key = jax.random.split(key, 3)
+        sgd_rng, unroll_rng, carry_rng = jax.random.split(rng, 3)
+        policy = make_policy(eval_params(training_state))
 
-        policy = make_policy(
-            (training_state.normalizer_params, training_state.params.policy)
-        )
-
-        def f(carry, unused_t):
-            current_state, current_key = carry
-            current_key, next_key = jax.random.split(current_key)
-            next_state, data = acting.generate_unroll(
+        def unroll_once(carry, _):
+            es, r = carry
+            use_rng, next_rng = jax.random.split(r)
+            es, segment = acting.generate_unroll(
                 env,
-                current_state,
+                es,
                 policy,
-                current_key,
+                use_rng,
                 unroll_length,
                 extra_fields=("truncation",),
                 compact=True,
             )
             # bootstrap observation for this unroll segment: the state after
             # its last step (== the transition's last next_observation)
-            return (next_state, next_key), (data, next_state.obs)
+            return (es, next_rng), (segment, es.obs)
 
         (state, _), (data, boot_obs) = jax.lax.scan(
-            f,
-            (state, key_generate_unroll),
-            (),
-            length=batch_size * num_minibatches // num_envs,
+            unroll_once, (state, unroll_rng), (), length=n_unrolls
         )
-        # [n_unrolls, T, local_envs, ...] -> [rows, T, ...]
+
+        # [n_unrolls, T, envs_per_shard, ...] -> [rows, T, ...]
         # (explicit row count: -1 breaks on the compact 0-width placeholders)
-        data = jax.tree_util.tree_map(lambda x: jnp.swapaxes(x, 1, 2), data)
-        data = jax.tree_util.tree_map(
-            lambda x: jnp.reshape(x, (x.shape[0] * x.shape[1],) + x.shape[2:]),
-            data,
-        )
+        def to_rows(x):
+            x = jnp.swapaxes(x, 1, 2)
+            return x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])
+
+        data = jax.tree_util.tree_map(to_rows, data)
         # re-attach the (rows, 1, obs) bootstrap so the loss's
         # next_observation[-1] sees exactly the reference value
-        boot_obs = jnp.reshape(boot_obs, (-1,) + boot_obs.shape[2:])
+        boot_obs = boot_obs.reshape((-1,) + boot_obs.shape[2:])
         data = data.replace(next_observation=boot_obs[:, None, :])
 
         normalizer_params = running_statistics.update(
@@ -283,46 +286,48 @@ def train(
             data.observation,
             pmean_axis_name=axis,
         )
-        return state, data, normalizer_params, key_sgd, new_key
+        return state, data, normalizer_params, sgd_rng, carry_rng
 
-    def learn_step(training_state, data, normalizer_params, key_sgd):
+    def learn_step(training_state, data, normalizer_params, sgd_rng):
         """Minibatched policy/value updates (the learner half)."""
-        (optimizer_state, params, _), metrics = jax.lax.scan(
-            functools.partial(sgd_step, data=data, normalizer_params=normalizer_params),
-            (training_state.optimizer_state, training_state.params, key_sgd),
+        (opt_state, params, _), metrics = jax.lax.scan(
+            lambda c, _: sgd_step(c, data, normalizer_params),
+            (training_state.optimizer_state, training_state.params, sgd_rng),
             (),
             length=num_updates_per_batch,
         )
-        new_training_state = TrainingState(
-            optimizer_state=optimizer_state,
-            params=params,
-            normalizer_params=normalizer_params,
-            env_steps=training_state.env_steps + env_step_per_training_step,
+        return (
+            TrainingState(
+                optimizer_state=opt_state,
+                params=params,
+                normalizer_params=normalizer_params,
+                env_steps=training_state.env_steps + steps_per_train_step,
+            ),
+            metrics,
         )
-        return new_training_state, metrics
 
-    def training_step(carry, unused_t):
-        training_state, state, key = carry
-        state, data, normalizer_params, key_sgd, new_key = rollout_step(
-            training_state, state, key
+    def training_step(carry, _):
+        training_state, state, rng = carry
+        state, data, normalizer_params, sgd_rng, rng = rollout_step(
+            training_state, state, rng
         )
-        new_training_state, metrics = learn_step(
-            training_state, data, normalizer_params, key_sgd
+        training_state, metrics = learn_step(
+            training_state, data, normalizer_params, sgd_rng
         )
-        return (new_training_state, state, new_key), metrics
+        return (training_state, state, rng), metrics
 
-    def training_epoch(training_state, state, key):
-        # key arrives with a sharded leading axis of size 1 per shard.
-        key = key[0]
+    def training_epoch(training_state, state, rng):
+        # rng arrives with a sharded leading axis of size 1 per shard.
         (training_state, state, _), loss_metrics = jax.lax.scan(
             training_step,
-            (training_state, state, key),
+            (training_state, state, rng[0]),
             (),
-            length=num_training_steps_per_epoch,
+            length=train_steps_per_epoch,
         )
-        loss_metrics = jax.tree_util.tree_map(jnp.mean, loss_metrics)
         # Reduce metrics so the replicated output is identical on all shards.
-        loss_metrics = jax.lax.pmean(loss_metrics, axis)
+        loss_metrics = jax.lax.pmean(
+            jax.tree_util.tree_map(jnp.mean, loss_metrics), axis
+        )
         return training_state, state, loss_metrics
 
     training_epoch = jax.jit(
@@ -339,20 +344,18 @@ def train(
     # two smaller executables with one host sync between them. Exists
     # because some deployment targets choke on the monolithic epoch program
     # (e.g. remote-compile services); also halves peak program size.
-    def _rollout_sm(training_state, state, key):
-        key = key[0]
-        state, data, normalizer_params, key_sgd, new_key = rollout_step(
-            training_state, state, key
+    def _rollout_sm(training_state, state, rng):
+        state, data, normalizer_params, sgd_rng, carry_rng = rollout_step(
+            training_state, state, rng[0]
         )
-        return state, data, normalizer_params, key_sgd[None], new_key[None]
+        return state, data, normalizer_params, sgd_rng[None], carry_rng[None]
 
-    def _learn_sm(training_state, data, normalizer_params, key_sgd):
-        new_training_state, metrics = learn_step(
-            training_state, data, normalizer_params, key_sgd[0]
+    def _learn_sm(training_state, data, normalizer_params, sgd_rng):
+        training_state, metrics = learn_step(
+            training_state, data, normalizer_params, sgd_rng[0]
         )
-        metrics = jax.tree_util.tree_map(jnp.mean, metrics)
-        metrics = jax.lax.pmean(metrics, axis)
-        return new_training_state, metrics
+        metrics = jax.lax.pmean(jax.tree_util.tree_map(jnp.mean, metrics), axis)
+        return training_state, metrics
 
     rollout_exec = jax.jit(
         shard_map_compat(
@@ -371,129 +374,112 @@ def train(
         )
     )
 
-    def training_epoch_split(training_state, state, keys):
-        all_metrics = []
-        for _ in range(num_training_steps_per_epoch):
-            state, data, normalizer_params, key_sgd, keys = rollout_exec(
-                training_state, state, keys
+    def training_epoch_split(training_state, state, rngs):
+        per_step_metrics = []
+        for _ in range(train_steps_per_epoch):
+            state, data, normalizer_params, sgd_rng, rngs = rollout_exec(
+                training_state, state, rngs
             )
             training_state, metrics = learn_exec(
-                training_state, data, normalizer_params, key_sgd
+                training_state, data, normalizer_params, sgd_rng
             )
-            all_metrics.append(metrics)
+            per_step_metrics.append(metrics)
         metrics = jax.tree_util.tree_map(
-            lambda *xs: jnp.mean(jnp.stack(xs)), *all_metrics
+            lambda *xs: jnp.mean(jnp.stack(xs)), *per_step_metrics
         )
         return training_state, state, metrics
 
     training_walltime = 0.0
 
-    def training_epoch_with_timing(training_state, env_state, key):
+    def run_one_epoch(training_state, env_state, rngs):
+        """Dispatch one epoch program and fold its timing into the metrics."""
         nonlocal training_walltime
-        t = time.time()
-        if epoch_mode == "split":
-            training_state, env_state, metrics = training_epoch_split(
-                training_state, env_state, key
-            )
-        else:
-            training_state, env_state, metrics = training_epoch(
-                training_state, env_state, key
-            )
-        metrics = jax.tree_util.tree_map(jnp.mean, metrics)
-        jax.block_until_ready(metrics)
+        epoch_fn = training_epoch_split if epoch_mode == "split" else training_epoch
+        t0 = time.time()
+        training_state, env_state, device_metrics = epoch_fn(
+            training_state, env_state, rngs
+        )
+        device_metrics = jax.tree_util.tree_map(jnp.mean, device_metrics)
+        jax.block_until_ready(device_metrics)
+        dt = time.time() - t0
 
-        epoch_training_time = time.time() - t
-        training_walltime += epoch_training_time
-        sps = (
-            num_training_steps_per_epoch
-            * env_step_per_training_step
-            * max(num_resets_per_eval, 1)
-        ) / epoch_training_time
+        training_walltime += dt
+        steps_this_epoch = (
+            train_steps_per_epoch * steps_per_train_step * resets_per_epoch
+        )
         metrics = {
-            "training/sps": sps,
+            "training/sps": steps_this_epoch / dt,
             "training/walltime": training_walltime,
-            **{f"training/{name}": float(value) for name, value in metrics.items()},
         }
+        for name, value in device_metrics.items():
+            metrics[f"training/{name}"] = float(value)
         return training_state, env_state, metrics
 
     # --- init learner state ----------------------------------------------
     init_params = ppo_losses.PPONetworkParams(
-        policy=ppo_network.policy_network.init(key_policy),
-        value=ppo_network.value_network.init(key_value),
+        policy=ppo_network.policy_network.init(policy_rng),
+        value=ppo_network.value_network.init(value_rng),
     )
+    step_dtype = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
     training_state = TrainingState(
         optimizer_state=optimizer.init(init_params),
         params=init_params,
         normalizer_params=running_statistics.init_state(
             jnp.zeros((obs_size,), env_state.obs.dtype)
         ),
-        env_steps=jnp.zeros((), jnp.int64 if jax.config.jax_enable_x64 else jnp.int32),
+        env_steps=jnp.zeros((), step_dtype),
     )
 
     if num_timesteps == 0:
-        return (
-            make_policy,
-            (training_state.normalizer_params, training_state.params),
-            {},
+        packed = (training_state.normalizer_params, training_state.params)
+        return make_policy, packed, {}
+
+    if restore_checkpoint_path is not None and os.path.exists(
+        restore_checkpoint_path
+    ):
+        # Probe the layout first so a corrupt/partial checkpoint fails
+        # with ITS error, not a confusing secondary layout mismatch.
+        layout = checkpoint.checkpoint_layout(restore_checkpoint_path)
+        _logger.info(
+            "restoring from checkpoint %s (layout: %s)",
+            restore_checkpoint_path,
+            layout,
         )
-
-    if restore_checkpoint_path is not None:
-        import os
-
-        if os.path.exists(restore_checkpoint_path):
-            # Probe the layout first so a corrupt/partial checkpoint fails
-            # with ITS error, not a confusing secondary layout mismatch.
-            layout = checkpoint.checkpoint_layout(restore_checkpoint_path)
-            _logger.info(
-                "restoring from checkpoint %s (layout: %s)",
+        if layout == "reference":
+            # Reference-layout checkpoint: (normalizer, params) only
+            # (custom_ppo.py:416-423); optimizer state / env_steps
+            # restart, matching the reference's resume semantics.
+            normalizer_params, restored_params = checkpoint.restore_checkpoint(
                 restore_checkpoint_path,
-                layout,
+                (training_state.normalizer_params, init_params),
             )
-            if layout == "reference":
-                # Reference-layout checkpoint: (normalizer, params) only
-                # (custom_ppo.py:416-423); optimizer state / env_steps
-                # restart, matching the reference's resume semantics.
-                normalizer_params, restored_params = checkpoint.restore_checkpoint(
-                    restore_checkpoint_path,
-                    (training_state.normalizer_params, init_params),
-                )
-                training_state = training_state.replace(
-                    normalizer_params=normalizer_params, params=restored_params
-                )
-            else:
-                training_state = checkpoint.restore_checkpoint(
-                    restore_checkpoint_path, training_state
-                )
+            training_state = training_state.replace(
+                normalizer_params=normalizer_params, params=restored_params
+            )
+        else:
+            training_state = checkpoint.restore_checkpoint(
+                restore_checkpoint_path, training_state
+            )
 
     training_state = jax.device_put(training_state, mesh.replicated)
 
-    if not eval_env:
-        eval_env = environment
+    eval_base = eval_env if eval_env else environment
     if randomization_fn is not None:
         v_randomization_fn = functools.partial(
-            randomization_fn, rng=jax.random.split(eval_key, num_eval_envs)
+            randomization_fn, rng=jax.random.split(eval_rng, num_eval_envs)
         )
-    eval_env = wrappers.wrap(
-        eval_env,
-        episode_length=episode_length,
-        action_repeat=action_repeat,
-        randomization_fn=v_randomization_fn,
-    )
     evaluator = acting.Evaluator(
-        eval_env,
+        wrap_for_training(eval_base, randomization_fn=v_randomization_fn),
         functools.partial(make_policy, deterministic=deterministic_eval),
         num_eval_envs=num_eval_envs,
         episode_length=episode_length,
         action_repeat=action_repeat,
-        key=eval_key,
+        key=eval_rng,
     )
 
     metrics = {}
     if process_id == 0 and num_evals > 1:
-        metrics = evaluator.run_evaluation(
-            (training_state.normalizer_params, training_state.params.policy),
-            training_metrics={},
-        )
+        metrics = evaluator.run_evaluation(eval_params(training_state), training_metrics={})
         _logger.info("initial eval: %s", metrics)
         # key by the restored step count so a resumed run's pre-training
         # eval lands at the right x on the learning curve (0 on fresh runs)
@@ -501,42 +487,45 @@ def train(
 
     training_metrics = {}
     current_step = 0
-    for it in range(num_evals_after_init):
-        _logger.info("starting iteration %s %.1fs", it, time.time() - xt)
+    for it in range(epochs):
+        _logger.info("starting iteration %s %.1fs", it, time.time() - t_start)
 
-        for _ in range(max(num_resets_per_eval, 1)):
-            epoch_key, local_key = jax.random.split(local_key)
-            epoch_keys = jax.random.split(epoch_key, num_shards)
-            epoch_keys = jax.device_put(epoch_keys, mesh.env_sharded)
-            (training_state, env_state, training_metrics) = (
-                training_epoch_with_timing(training_state, env_state, epoch_keys)
+        for _ in range(resets_per_epoch):
+            epoch_rng, run_rng = jax.random.split(run_rng)
+            shard_rngs = jax.device_put(
+                jax.random.split(epoch_rng, num_shards), mesh.env_sharded
+            )
+            training_state, env_state, training_metrics = run_one_epoch(
+                training_state, env_state, shard_rngs
             )
             current_step = int(jax.device_get(training_state.env_steps))
 
             if num_resets_per_eval > 0:
-                key_env, reset_key = jax.random.split(key_env)
-                new_keys = jax.random.split(reset_key, num_envs)
-                env_state = reset_fn(jax.device_put(new_keys, mesh.env_sharded))
+                env_rng, reset_rng = jax.random.split(env_rng)
+                env_state = reset_fn(
+                    jax.device_put(
+                        jax.random.split(reset_rng, num_envs), mesh.env_sharded
+                    )
+                )
 
         if process_id == 0:
             metrics = evaluator.run_evaluation(
-                (training_state.normalizer_params, training_state.params.policy),
-                training_metrics,
+                eval_params(training_state), training_metrics
             )
             _logger.info("eval @%d: %s", current_step, metrics)
             progress_fn(current_step, metrics)
-            params = (training_state.normalizer_params, training_state.params.policy)
-            policy_params_fn(current_step, make_policy, params)
+            policy_params_fn(current_step, make_policy, eval_params(training_state))
         if checkpoint_dir is not None:
             checkpoint.save_checkpoint(
                 f"{checkpoint_dir}/{current_step}", training_state
             )
 
-    total_steps = current_step
-    assert total_steps >= num_timesteps
+    if current_step < num_timesteps:
+        raise AssertionError(
+            f"trained {current_step} < requested {num_timesteps} steps"
+        )
 
     dmesh.assert_is_replicated(training_state, mesh)
-    params = (training_state.normalizer_params, training_state.params.policy)
-    _logger.info("total steps: %s", total_steps)
+    _logger.info("total steps: %s", current_step)
     dmesh.synchronize_hosts()
-    return (make_policy, params, metrics)
+    return make_policy, eval_params(training_state), metrics

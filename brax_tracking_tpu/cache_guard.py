@@ -1,28 +1,35 @@
 """Crash-safe JAX compilation-cache handling.
 
-A process killed mid-compile can leave a truncated entry in the persistent
-compilation cache; with some jaxlibs, *reading or rewriting* such an entry
-segfaults — so a single crash used to poison every later run until someone
-wiped the directory by hand (scripts/check.sh documented the manual
-workaround; VERDICT r2 asked for it to be automatic).
+History: a process killed mid-compile can leave a truncated entry in the
+persistent compilation cache, and with some older jaxlibs *reading* such an
+entry segfaulted — so rounds 2-4 wiped the whole cache whenever a previous
+process died with it open (detected via PID markers). That cure was worse
+than the disease on this image: the pair-scale Mosaic kernels take ~10
+minutes to compile, a bench run killed by a harness timeout left a dead
+marker, and the *next* run then threw those entries away and recompiled
+from scratch — turning one timeout into a permanent timeout loop.
 
-``ensure_clean_cache`` makes the mitigation automatic with PID markers:
-each process drops ``<cache>/.inuse/<pid>`` on open and removes it on clean
-exit (atexit). A marker whose PID is dead means a previous process died
-while the cache was open — its interrupted write may be truncated — so the
-cache contents are wiped before use. Live markers (concurrent runs) leave
-the cache alone; unlinking entries is atomic, so a concurrent reader either
-sees the whole old file or a plain cache miss.
+The current jaxlib fails *cleanly* on torn entries: the cache payload is a
+zstd frame, truncation breaks the frame, and ``jax._src.compiler`` catches
+the ZstdError, warns, and recompiles just that entry (verified in
+tests/test_cache_guard.py::test_jax_recovers_from_truncated_entry). A torn
+write cannot produce a *valid* frame with wrong contents, so corrupt
+entries are self-healing and the guard no longer deletes anything.
+
+``ensure_clean_cache`` still maintains the PID markers: they cost nothing,
+make "did the last run exit cleanly?" greppable on disk, and keep the
+API/meaning stable for callers. A dead marker is logged and removed; the
+cache contents are left alone.
 """
 
 from __future__ import annotations
 
 import atexit
+import logging
 import os
-import shutil
-import signal
 
 _INUSE = ".inuse"
+_logger = logging.getLogger(__name__)
 
 
 def _alive(pid: int) -> bool:
@@ -36,35 +43,33 @@ def _alive(pid: int) -> bool:
 
 
 def ensure_clean_cache(cache_dir: str) -> str:
-    """Registers this process on the cache; wipes it first if a previous
-    process died with the cache open. Returns the expanded path (pass it to
-    ``jax.config.update('jax_compilation_cache_dir', ...)``)."""
+    """Registers this process on the cache and reaps dead-process markers.
+    Returns the expanded path (pass it to
+    ``jax.config.update('jax_compilation_cache_dir', ...)``).
+
+    Cache entries are never deleted: this jaxlib recovers from truncated
+    entries by recompiling them (see module docstring), and whole-cache
+    wipes are exactly what made >10-minute-compile workloads impossible to
+    benchmark under a harness timeout.
+    """
     cache_dir = os.path.expanduser(cache_dir)
     marker_dir = os.path.join(cache_dir, _INUSE)
     os.makedirs(marker_dir, exist_ok=True)
 
-    crashed = False
     for name in os.listdir(marker_dir):
         try:
             pid = int(name)
         except ValueError:
             continue
         if not _alive(pid):
-            crashed = True
+            _logger.info(
+                "compile cache %s: previous process %d exited uncleanly; "
+                "keeping its entries (torn entries self-heal on read)",
+                cache_dir,
+                pid,
+            )
             try:
                 os.unlink(os.path.join(marker_dir, name))
-            except FileNotFoundError:
-                pass
-    if crashed:
-        for entry in os.listdir(cache_dir):
-            if entry == _INUSE:
-                continue
-            path = os.path.join(cache_dir, entry)
-            try:
-                if os.path.isdir(path):
-                    shutil.rmtree(path, ignore_errors=True)
-                else:
-                    os.unlink(path)
             except FileNotFoundError:
                 pass
 
@@ -79,40 +84,4 @@ def ensure_clean_cache(cache_dir: str) -> str:
             pass
 
     atexit.register(_release)
-
-    # SIGTERM (e.g. `timeout` expiring on a bench/test run) skips atexit, so
-    # without this every timed-out run would read as a crash and wipe the
-    # whole cache. jax's LRUCache.put is a plain write_bytes (not
-    # temp+rename), so the entry being written WHEN the signal lands can be
-    # torn — the handler unlinks entries touched in the last few seconds
-    # (an in-progress write keeps going into the unlinked inode, harmlessly)
-    # and only then releases the marker. SIGKILL/SIGSEGV still (correctly)
-    # leave the marker and trigger a full wipe on the next run.
-    prev = signal.getsignal(signal.SIGTERM)
-    if prev is signal.SIG_DFL:
-
-        def _on_term(signum, frame, grace_s=10.0):
-            import time
-
-            cutoff = time.time() - grace_s
-            try:
-                for entry in os.listdir(cache_dir):
-                    if entry == _INUSE:
-                        continue
-                    path = os.path.join(cache_dir, entry)
-                    try:
-                        if os.path.isfile(path) and os.path.getmtime(path) > cutoff:
-                            os.unlink(path)
-                    except OSError:
-                        pass
-            except OSError:
-                pass
-            _release()
-            signal.signal(signal.SIGTERM, signal.SIG_DFL)
-            os.kill(os.getpid(), signal.SIGTERM)
-
-        try:
-            signal.signal(signal.SIGTERM, _on_term)
-        except ValueError:  # not the main thread; atexit still covers exits
-            pass
     return cache_dir

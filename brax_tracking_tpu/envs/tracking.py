@@ -446,12 +446,29 @@ class MultiClipMixin:
         )
 
     def _with_clip(self, clip: ReferenceClip, fn):
+        # Contract: the swap is only sound when all traces of this env
+        # object run on one thread. Same-thread nesting (reset ->
+        # reset_to_frame) is well-ordered via try/finally; two *threads*
+        # interleaving would each see the other's clip — fail loudly
+        # instead of silently mixing tracers.
+        import threading
+
+        me = threading.get_ident()
+        owner = getattr(self, "_clip_swap_owner", None)
+        if owner is not None and owner != me:
+            raise RuntimeError(
+                "concurrent _with_clip on the same env object from two "
+                "threads — trace this env from one thread at a time (or "
+                "use separate env copies)"
+            )
         old = self._ref_traj
+        self._clip_swap_owner = me
         self._ref_traj = clip
         try:
             return fn()
         finally:
             self._ref_traj = old
+            self._clip_swap_owner = owner
 
     def reset(self, rng: jax.Array) -> State:
         rng, rng_clip = jax.random.split(rng)

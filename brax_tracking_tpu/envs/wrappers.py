@@ -104,14 +104,30 @@ class DomainRandomizationVmapWrapper(Wrapper):
 
     def _with_model(self, model: M.Model, fn):
         """Runs fn with the env's model swapped, restoring afterwards so no
-        traced model leaks into the (shared, stateful) env object."""
+        traced model leaks into the (shared, stateful) env object.
+
+        Contract: sound only when all traces of this env object run on one
+        thread (same-thread nesting is well-ordered via try/finally); two
+        *threads* interleaving raises instead of silently mixing models."""
+        import threading
+
         unwrapped = self.env.unwrapped
+        me = threading.get_ident()
+        owner = getattr(unwrapped, "_model_swap_owner", None)
+        if owner is not None and owner != me:
+            raise RuntimeError(
+                "concurrent _with_model on the same env object from two "
+                "threads — trace this env from one thread at a time (or "
+                "use separate env copies)"
+            )
         old = unwrapped._model
+        unwrapped._model_swap_owner = me
         unwrapped._model = model
         try:
             return fn()
         finally:
             unwrapped._model = old
+            unwrapped._model_swap_owner = owner
 
     def reset(self, rng: jax.Array) -> State:
         def reset_one(model, r):

@@ -389,18 +389,18 @@ def _cg_core(
             alpha = conv * alpha + (1.0 - conv) * alpha2
             lo = conv * lo + (1.0 - conv) * lo2
             hi = conv * hi + (1.0 - conv) * hi2
-            return alpha, lo, hi, conv
+            return alpha, lo, hi
 
         lsc = (alpha, lo, hi)
         if ls_iters <= 16:
             for _ in range(ls_iters):
-                lsc = ls_body(lsc)[:3]
+                lsc = ls_body(lsc)
         else:
             # rolled budget (no in-kernel early exit: Mosaic's while
             # lowering crashes on large tiles — the Newton dispatch caps
             # ls_iters at 16 instead, see solver._solve_newton_fused)
             lsc = jax.lax.fori_loop(
-                0, ls_iters, lambda _, c: ls_body(c)[:3], lsc
+                0, ls_iters, lambda _, c: ls_body(c), lsc
             )
         alpha, lo, hi = lsc
 

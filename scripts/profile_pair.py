@@ -143,7 +143,8 @@ def main():
             d_in = d_out
         except Exception as e:  # keep the rest of the profile alive
             print(f"  {name:26s} FAILED: {type(e).__name__}")
-            d_in = jax.jit(jax.vmap(fn))(d_in)
+            # a deterministically failing stage would fail again here too —
+            # skip it and feed the previous d_in to the next stage instead
 
     solve_b = jax.jit(jax.vmap(lambda d: S.solve(m, d).qacc))
     t_solve, _ = timeit(solve_b, dpre)
