@@ -479,6 +479,17 @@ class MultiClipMixin:
         state.info["clip_idx"] = clip_idx
         return state
 
+    def reset_to_clip(self, clip_idx: jax.Array, rng: jax.Array) -> State:
+        """Reset pinned to ``clip_idx`` (random start frame) — the per-clip
+        eval entry point (driver logs eval/episode_reward_clip{i})."""
+        clip_idx = jnp.asarray(clip_idx, jnp.int32)
+        state = self._with_clip(
+            self._select_clip(clip_idx),
+            lambda: super(MultiClipMixin, self).reset(rng),
+        )
+        state.info["clip_idx"] = clip_idx
+        return state
+
     def reset_to_frame(
         self, start_frame: jax.Array, rng1: jax.Array, rng2: jax.Array
     ) -> State:

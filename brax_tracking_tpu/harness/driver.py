@@ -141,10 +141,47 @@ def _eval_callback(cfg: Dict, env, logger, model_path: str, fig_dir: str = ""):
 
         return jax.jit(_roll)
 
+    # per-clip eval for multi-clip envs: one compiled program, invoked once
+    # per clip with the clip index as a traced argument
+    n_clips = int(getattr(env, "_n_clips", 1))
+    _clip_eval_fn = None
+
+    def _compile_clip_eval(make_policy, batch=32):
+        def _one(params, clip_idx, rng):
+            policy = make_policy(params, deterministic=True)
+            keys = jax.random.split(rng, batch)
+            idx = jnp.full((batch,), clip_idx, jnp.int32)
+            state = jax.vmap(env.reset_to_clip)(idx, keys)
+
+            def body(carry, _):
+                state, rng, ret, alive = carry
+                rng, key = jax.random.split(rng)
+                action, _ = policy(state.obs, key)
+                state = jax.vmap(env.step)(state, action)
+                ret = ret + state.reward * alive
+                alive = alive * (1.0 - state.done)
+                return (state, rng, ret, alive), None
+
+            init = (state, rng, jnp.zeros(batch), jnp.ones(batch))
+            (_, _, ret, _), _ = jax.lax.scan(body, init, (), length=n_steps)
+            return jnp.mean(ret)
+
+        return jax.jit(_one)
+
     def policy_params_fn(num_steps, make_policy, params):
-        nonlocal _rollout_fn
+        nonlocal _rollout_fn, _clip_eval_fn
         os.makedirs(model_path, exist_ok=True)
         checkpoint.save_params(os.path.join(model_path, str(num_steps)), params)
+        if n_clips > 1:
+            if _clip_eval_fn is None:
+                _clip_eval_fn = _compile_clip_eval(make_policy)
+            per_clip = {
+                f"eval/episode_reward_clip{j}": float(
+                    _clip_eval_fn(params, j, jax.random.PRNGKey(j))
+                )
+                for j in range(n_clips)
+            }
+            logger.log(per_clip, step=num_steps)
         if _rollout_fn is None:
             _rollout_fn = _compile_rollout(make_policy)
         (metrics_seq, dists_seq, thorax_seq, qpos_seq), (thorax0, qpos0) = (
@@ -269,8 +306,8 @@ def main(argv=None) -> Dict:
 
     # persistent executable cache: the reference-scale trainer graph takes
     # minutes to compile cold; restarts and repeat runs hit the cache.
-    # ensure_clean_cache auto-wipes it when a previous run crashed
-    # mid-compile (truncated entries segfault jax's cache reader).
+    # ensure_clean_cache tracks crashed runs via PID markers (entries left
+    # by a killed run are harmless — jax recompiles truncated ones).
     cache_dir = cfg.get("compilation_cache_dir", "~/.cache/btt_jax_cache")
     if cache_dir:
         from brax_tracking_tpu.cache_guard import ensure_clean_cache

@@ -74,6 +74,8 @@ def _cg_kernel(
     nell: int,
     has_warmstart: bool,
     stall_tol: float,
+    unroll_iters: bool,
+    unroll_ls: bool,
     qM_ref,
     J_ref,
     D_ref,
@@ -97,7 +99,7 @@ def _cg_kernel(
 ):
     _cg_core(
         nv, nefc, iters, ls_iters, tol, minval, dt, has_damping, ell0, nell,
-        has_warmstart, stall_tol,
+        has_warmstart, stall_tol, unroll_iters, unroll_ls,
         qM_ref[:], J_ref, D_ref, aref_ref, exists_ref, mu_ref, sc1_ref,
         sc2_ref, econ_ref, qfrc_smooth_ref, qvel_ref, damp_ref, ws_ref,
         x_ref, force_ref, qfrc_ref, a0_ref, qvel_new_ref, done_ref,
@@ -107,7 +109,7 @@ def _cg_kernel(
 
 def _cg_core(
     nv, nefc, iters, ls_iters, tol, minval, dt, has_damping, ell0, nell,
-    has_warmstart, stall_tol,
+    has_warmstart, stall_tol, unroll_iters, unroll_ls,
     qM,  # (Vp, Vp, L) loaded values (input tile or in-kernel-assembled)
     J_ref,  # (Rp, Vp, L) ref — input tile or scratch, read chunk-by-chunk
     D_ref, aref_ref, exists_ref, mu_ref, sc1_ref, sc2_ref, econ_ref,
@@ -345,7 +347,22 @@ def _cg_core(
         cand = jnp.broadcast_to(guess, (13, guess.shape[-1])) * jnp.broadcast_to(
             pow2, (13, guess.shape[-1])
         )
-        dcand, _ = dphi(cand)
+        # Evaluate the candidates in row-budgeted chunks: dphi(A, L) builds
+        # (A, Rp, L) temporaries, and at pair scale (Rp=592) the full A=13
+        # evaluation is ~40 MB of live vregs — the register allocator
+        # spills ~80 MB past the 128 MB VMEM cap. Chunks of a few
+        # candidates serialize those temporaries at identical total FLOPs.
+        a_chunk = max(1, int(2_000_000 // (Rp * L * 4)))
+        if a_chunk >= 13:
+            dcand, _ = dphi(cand)
+        else:
+            parts = []
+            for a0_ in range(0, 13, a_chunk):
+                n_ = min(a_chunk, 13 - a0_)
+                parts.append(
+                    dphi(jax.lax.slice_in_dim(cand, a0_, a0_ + n_, axis=0))[0]
+                )
+            dcand = jnp.concatenate(parts, axis=0)
         pos = dcand >= 0.0
         hi = jnp.min(
             jnp.where(pos, cand, jnp.broadcast_to(cand[-1:], cand.shape)),
@@ -392,13 +409,17 @@ def _cg_core(
             return alpha, lo, hi
 
         lsc = (alpha, lo, hi)
-        if ls_iters <= 16:
+        if unroll_ls and ls_iters <= 16:
             for _ in range(ls_iters):
                 lsc = ls_body(lsc)
         else:
             # rolled budget (no in-kernel early exit: Mosaic's while
             # lowering crashes on large tiles — the Newton dispatch caps
-            # ls_iters at 16 instead, see solver._solve_newton_fused)
+            # ls_iters at 16 instead, see solver._solve_newton_fused).
+            # Also taken with unroll_ls=False: at pair-scale tiles a
+            # fully-unrolled 16x16 iters-x-ls body costs 20+ min of
+            # Mosaic compile; rolling the LS (tiny alpha/lo/hi carry)
+            # shrinks the program ~16x without VMEM spills.
             lsc = jax.lax.fori_loop(
                 0, ls_iters, lambda _, c: ls_body(c), lsc
             )
@@ -451,7 +472,7 @@ def _cg_core(
         return (x, jar, mxa, force, cost, grad, mgrad, p, done)
 
     carry = (x, jar, mxa, force, cost, grad, mgrad, p, done)
-    if iters <= 16:
+    if unroll_iters and iters <= 16:
         for _ in range(iters):
             carry = cg_body(carry)
     else:
@@ -494,7 +515,7 @@ def _cg_core(
     jax.jit,
     static_argnames=(
         "iters", "ls_iters", "tol", "dt", "has_damping", "ell0", "ell_mu",
-        "ell_scale", "stall_tol", "interpret",
+        "ell_scale", "stall_tol", "unroll_iters", "unroll_ls", "interpret",
     ),
 )
 def cg_solve_batched(
@@ -517,6 +538,8 @@ def cg_solve_batched(
     ell_scale: tuple = (),
     warmstart: jax.Array = None,  # (B, nv) qacc_warmstart or None
     stall_tol: float = 0.0,
+    unroll_iters: bool = True,
+    unroll_ls: bool = True,
     interpret: bool = False,
 ):
     """Returns (qacc, efc_force, qfrc_constraint, qacc_smooth, qvel_new).
@@ -524,6 +547,13 @@ def cg_solve_batched(
     ell_mu/ell_scale: static per-contact friction for ONE contiguous block
     of dim-3 elliptic rows starting at row ell0 (row order [n,t1,t2] per
     contact in the INPUT; permuted to [n...][t1...][t2...] internally).
+
+    ``unroll_iters``/``unroll_ls`` choose unrolled vs fori_loop forms for
+    the CG iteration and line-search loops: same math, and rolling shrinks
+    the Mosaic program (pair-scale: a 16x16 fully-unrolled body costs 20+
+    minutes of compile; rolling the LS cuts it ~16x with only the tiny
+    alpha/lo/hi carry in the loop — rolling the CG loop too is NOT viable
+    at large tiles, its big carries spill ~100 MB past VMEM).
     """
     B, nefc, nv = J.shape
     nell = len(ell_mu)
@@ -614,6 +644,7 @@ def cg_solve_batched(
         functools.partial(
             _cg_kernel, nv, nefc, iters, ls_iters, tol, 1e-15, dt,
             has_damping, ell0, nell, has_warmstart, stall_tol,
+            unroll_iters, unroll_ls,
         ),
         grid=grid,
         in_specs=[
@@ -760,7 +791,7 @@ def _assemble_qM_J(
 
 def _cg_fused_kernel(
     nv, nefc, iters, ls_iters, tol, minval, dt, has_damping, ell0, nell,
-    has_warmstart, stall_tol,
+    has_warmstart, stall_tol, unroll_iters, unroll_ls,
     nroots, root_bounds, md_groups, limit_writes,
     ft_ref, ct_ref, Bm_ref, jsign_ref, mdT_ref, szv_ref, arm_ref,
     D_ref, aref_ref, exists_ref, mu_ref, sc1_ref, sc2_ref, econ_ref,
@@ -775,7 +806,7 @@ def _cg_fused_kernel(
     )
     _cg_core(
         nv, nefc, iters, ls_iters, tol, minval, dt, has_damping, ell0, nell,
-        has_warmstart, stall_tol,
+        has_warmstart, stall_tol, unroll_iters, unroll_ls,
         qM_scr[:], J_scr, D_ref, aref_ref, exists_ref, mu_ref, sc1_ref,
         sc2_ref, econ_ref, qfrc_smooth_ref, qvel_ref, damp_ref, ws_ref,
         x_ref, force_ref, qfrc_ref, a0_ref, qvel_new_ref, done_ref,
@@ -788,7 +819,7 @@ def _cg_fused_kernel(
     static_argnames=(
         "iters", "ls_iters", "tol", "dt", "has_damping", "ell0", "ell_mu",
         "ell_scale", "row_slot", "sz", "root_bounds", "limit_dadr",
-        "stall_tol", "interpret",
+        "stall_tol", "unroll_iters", "unroll_ls", "interpret",
     ),
 )
 def cg_solve_fused(
@@ -820,11 +851,15 @@ def cg_solve_fused(
     ell_scale: tuple = (),
     warmstart: jax.Array = None,  # (B, nv) qacc_warmstart or None
     stall_tol: float = 0.0,
+    unroll_iters: bool = True,
+    unroll_ls: bool = True,
     interpret: bool = False,
 ):
     """cg_solve_batched with in-kernel qM/J assembly from low-rank factors.
 
     Returns (qacc, efc_force, qfrc_constraint, qacc_smooth, qvel_new).
+    ``unroll_iters``/``unroll_ls`` roll the in-kernel loops — see
+    cg_solve_batched.
     """
     B, _, nv = f.shape
     nefc = D.shape[1]
@@ -943,6 +978,7 @@ def cg_solve_fused(
         functools.partial(
             _cg_fused_kernel, nv, nefc, iters, ls_iters, tol, 1e-15, dt,
             has_damping, ell0, nell, has_warmstart, stall_tol,
+            unroll_iters, unroll_ls,
             nroots, tuple(root_bounds), md_groups, limit_writes,
         ),
         grid=grid,

@@ -15,6 +15,7 @@ Validated against C-oracle qacc/qfrc_constraint in tests.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Tuple
 
 import jax
@@ -522,6 +523,7 @@ def _solve_quad(m: M.Model, d: M.Data, layout: Cn.EfcLayout) -> M.Data:
                 limit_dadr=fstat["limit_dadr"],
                 ell0=ell0, ell_mu=tuple(ell_mu.tolist()),
                 ell_scale=tuple(map(tuple, ell_scale.tolist())),
+                **_kernel_unroll(iters, ls_iters),
             )
             return out[:5], (True,) * 5
 
@@ -568,6 +570,24 @@ def _solve_quad(m: M.Model, d: M.Data, layout: Cn.EfcLayout) -> M.Data:
 # improvement below ~32 eps_f32 is rounding noise — further iterations
 # cannot move the iterate (see ops/cg._cg_core)
 _STALL_TOL_F32 = 4e-6
+
+
+def _kernel_unroll(iters: int, ls_iters: int) -> dict:
+    """Choose unrolled vs rolled forms for the kernel's loops. Compile cost
+    scales with iters*ls_iters copies of the (already large) CG body: the
+    production rodent/fly configs (4x4) are cheap fully unrolled, but the
+    rodent_pair Newton chunks (16x16 after the chunk/LS caps) cost 20+
+    minutes of Mosaic compile through the axon tunnel. Rolling the LINE
+    SEARCH shrinks the program ~16x — its fori carry is just (alpha, lo,
+    hi), three (1, L) tiles. The CG iteration loop always stays unrolled:
+    its carries are (Rp, L)/(Vp, L) tensors and rolling them makes the
+    register allocator spill ~100 MB past VMEM at pair scale (measured).
+    BTT_KERNEL_UNROLL=0/1 forces both knobs for A/B runs."""
+    override = os.environ.get("BTT_KERNEL_UNROLL")
+    if override is not None:
+        on = override == "1"
+        return dict(unroll_iters=True, unroll_ls=on)
+    return dict(unroll_iters=True, unroll_ls=iters * ls_iters <= 64)
 
 
 def _solve_newton_fused(
@@ -727,6 +747,7 @@ def _solve_newton_fused(
                     ell_scale=tuple(map(tuple, ell_scale.tolist())),
                     warmstart=x0,
                     stall_tol=_STALL_TOL_F32,
+                    **_kernel_unroll(K, min(ls_iters, 16)),
                 )
 
             # always-warmstarted kernel (zeros when the model has none:

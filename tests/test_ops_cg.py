@@ -201,3 +201,35 @@ def test_kernel_rolled_loops_match_array_path():
             rng, 4, 24, 6, 40, True, dtype=np.float64, iters=20, ls_iters=20
         )
         _check(kout, bout, prob, rtol=1e-9, atol=1e-11)
+
+
+def test_unroll_false_matches_unrolled():
+    """unroll_ls=False routes the line search through the fori_loop branch
+    (the pair-scale compile-time configuration, solver._kernel_unroll).
+    The iteration math is identical; only XLA's reassociation within the
+    compiled loop body can differ, so f64 agreement is machine-epsilon."""
+    rng = np.random.RandomState(3)
+    with _x64():
+        qM, Jc, jsign, D, aref, exists, qfrc, qvel, damp, L1 = _problem(
+            rng, 8, 12, 3, 9, dtype=np.float64
+        )
+        J = np.concatenate(
+            [jsign[:, :, None] * L1[None], Jc], axis=1
+        ).astype(np.float64)
+        args = (
+            jnp.asarray(qM), jnp.asarray(J), jnp.asarray(D),
+            jnp.asarray(aref), jnp.asarray(exists),
+            jnp.zeros((8, 0), bool), jnp.asarray(qfrc), jnp.asarray(qvel),
+            jnp.asarray(damp, np.float64),
+        )
+        kw = dict(iters=4, ls_iters=4, tol=1e-8, dt=0.002, has_damping=True,
+                  interpret=True)
+        out_u = ops_cg.cg_solve_batched(*args, unroll_ls=True, **kw)
+        out_r = ops_cg.cg_solve_batched(*args, unroll_ls=False, **kw)
+        for nm, a, b in zip(
+            ("qacc", "force", "qfrc", "a0", "qvel_next", "done"), out_u, out_r
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-9, atol=1e-11,
+                err_msg=nm,
+            )

@@ -278,3 +278,77 @@ def test_newton_dispatch_kernel_equivalence(monkeypatch):
     assert float(jnp.abs(out.qacc - ref.qacc).max()) / scale < 5e-3
     vscale = max(1e-9, float(jnp.abs(ref.qvel).max()))
     assert float(jnp.abs(out.qvel - ref.qvel).max()) / vscale < 3e-2
+
+
+@pytest.mark.slow
+def test_newton_dispatch_trajectory_divergence(monkeypatch):
+    """VERDICT r4 #6: megakernel-vs-Newton equivalence AT SCALE — the pair
+    scene at its production solver config (XML defaults: Newton,
+    iterations=100, ls_iterations=50) stepped N control steps in f32.
+
+    Trajectory A: the megakernel chunked-restart path (what the TPU runs;
+    interpret-mode kernel here). Trajectory B: the per-env exact-Hessian
+    Newton fallback (what BTT_NEWTON_XLA=1 forces on TPU). Both solve the
+    same strictly convex primal per substep, so the per-step qacc gap is
+    solver-tolerance noise; over a contact-rich horizon the trajectories
+    may drift (f32 + contact chaos amplify solver noise), and THIS test
+    documents the bound: relative qpos divergence stays within a few
+    percent of the pose scale over 20 steps."""
+    import functools
+
+    from brax_tracking_tpu.ops import cg as ops_cg
+    from brax_tracking_tpu.ops import cholesky as ops_chol
+
+    model, mj = bspec.build_model(
+        RODENT_PAIR, dtype=jnp.float32, return_mj=True
+    )
+    assert int(model.opt.iterations) == 100  # production budget, no caps
+    B, N = 4, 20
+    rng = np.random.RandomState(7)
+    d0 = bstep.make_data(model)
+    dB = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), d0)
+    qpos = np.tile(np.asarray(mj.qpos0)[None], (B, 1))
+    free = np.nonzero(np.asarray(model.jnt_type) == 0)[0]
+    for j in free:
+        qadr = int(model.jnt_qposadr[j])
+        qpos[:, qadr + 2] -= 0.012  # feet through the floor: rich contact
+    qpos += rng.uniform(-0.01, 0.01, qpos.shape)
+    dB = dB.replace(
+        qpos=jnp.asarray(qpos, jnp.float32),
+        qvel=jnp.asarray(rng.uniform(-0.3, 0.3, (B, mj.nv)), jnp.float32),
+        ctrl=jnp.asarray(rng.uniform(-0.2, 0.2, (B, mj.nu)), jnp.float32),
+    )
+
+    def roll(d, n):
+        step = jax.vmap(lambda dd: bstep.step(model, dd))
+        # first step outside the scan: it populates the derived fields
+        # (xpos/..., qacc_warmstart) that make_data leaves as None
+        d = step(d)
+        def body(c, _):
+            c = step(c)
+            return c, c.qpos
+        return jax.lax.scan(body, d, (), length=n - 1)
+
+    _, qpos_newton = jax.jit(roll, static_argnums=1)(dB, N)
+
+    orig = ops_cg.cg_solve_fused
+    orig_fs = ops_chol.factor_solve_batched
+    monkeypatch.setattr(ops_chol, "_use_pallas", lambda x: True)
+    monkeypatch.setattr(
+        ops_cg, "cg_solve_fused", functools.partial(orig, interpret=True)
+    )
+    monkeypatch.setattr(
+        ops_chol, "factor_solve_batched",
+        functools.partial(orig_fs, interpret=True),
+    )
+    _, qpos_kernel = jax.jit(roll, static_argnums=1)(dB, N)
+
+    qn = np.asarray(qpos_newton)
+    qk = np.asarray(qpos_kernel)
+    assert np.all(np.isfinite(qk)), "megakernel trajectory went non-finite"
+    scale = max(1.0, float(np.abs(qn).max()))
+    div = np.abs(qk - qn).max(axis=(1, 2)) / scale  # per-step worst env
+    # measured on this seed: ~1e-5 after 1 step, growing smoothly; the
+    # bound leaves ~4x headroom over the observed 20-step divergence
+    assert div[0] < 5e-3, f"step-1 divergence {div[0]:.2e}"
+    assert div[-1] < 8e-2, f"20-step divergence {div[-1]:.2e}"
