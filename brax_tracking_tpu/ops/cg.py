@@ -100,7 +100,7 @@ def _cg_kernel(
     _cg_core(
         nv, nefc, iters, ls_iters, tol, minval, dt, has_damping, ell0, nell,
         has_warmstart, stall_tol, unroll_iters, unroll_ls,
-        qM_ref[:], J_ref, D_ref, aref_ref, exists_ref, mu_ref, sc1_ref,
+        qM_ref, J_ref, D_ref, aref_ref, exists_ref, mu_ref, sc1_ref,
         sc2_ref, econ_ref, qfrc_smooth_ref, qvel_ref, damp_ref, ws_ref,
         x_ref, force_ref, qfrc_ref, a0_ref, qvel_new_ref, done_ref,
         scratch_ref,
@@ -110,12 +110,17 @@ def _cg_kernel(
 def _cg_core(
     nv, nefc, iters, ls_iters, tol, minval, dt, has_damping, ell0, nell,
     has_warmstart, stall_tol, unroll_iters, unroll_ls,
-    qM,  # (Vp, Vp, L) loaded values (input tile or in-kernel-assembled)
+    qM_ref,  # (Vp, Vp, L) ref (input tile or in-kernel-assembled scratch)
     J_ref,  # (Rp, Vp, L) ref — input tile or scratch, read chunk-by-chunk
     D_ref, aref_ref, exists_ref, mu_ref, sc1_ref, sc2_ref, econ_ref,
     qfrc_smooth_ref, qvel_ref, damp_ref, ws_ref,
     x_ref, force_ref, qfrc_ref, a0_ref, qvel_new_ref, done_ref, scratch_ref,
 ):
+    # qM and M^-1 are only ever touched through refs, chunk-by-chunk: a
+    # loaded (Vp, Vp, L) VALUE (~12 MB at pair scale) stays live across
+    # every CG iteration and line-search loop, and the register allocator
+    # spills it (measured: two such values put the pair kernel ~80 MB of
+    # spill slots past the VMEM cap).
     f32 = jnp.float32
     D = D_ref[:]  # (Rp, L)
     aref = aref_ref[:]
@@ -156,21 +161,35 @@ def _cg_core(
 
     VB = _chunk_rows(Vp, Vp, L)
 
-    def mmul(mat, x):  # (Vp, Vp, L), (Vp, L) -> (Vp, L)
+    def mmul(mat_ref, x):  # (Vp, Vp, L) ref, (Vp, L) -> (Vp, L)
         xb = x[None, :, :]
         parts = []
         for off in range(0, Vp, VB):
             n = min(VB, Vp - off)
-            mc = jax.lax.slice_in_dim(mat, off, off + n, axis=0)
+            mc = mat_ref[pl.ds(off, n)]
             parts.append(jnp.sum(mc * jnp.broadcast_to(xb, mc.shape), axis=1))
         out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
         return out + zV
 
+    def copy_qM_into_scratch(extra_diag=None):
+        # chunked ref-to-ref copy (a whole-tile load would be a ~12 MB
+        # live value); extra_diag (Vp, L) adds to the diagonal in place
+        for off in range(0, Vp, VB):
+            n = min(VB, Vp - off)
+            blk = qM_ref[pl.ds(off, n)]
+            if extra_diag is not None:
+                rows = off + jax.lax.broadcasted_iota(jnp.int32, (n, Vp, 1), 0)
+                cols = jax.lax.broadcasted_iota(jnp.int32, (n, Vp, 1), 1)
+                dslice = jax.lax.slice_in_dim(
+                    extra_diag, off, off + n, axis=0
+                )[:, None, :]
+                blk = blk + jnp.where(rows == cols, 1.0, 0.0) * dslice
+            scratch_ref[pl.ds(off, n)] = blk
+
     # --- M^-1 lives only in VMEM --------------------------------------
-    scratch_ref[:] = qM
+    copy_qM_into_scratch()
     _sweep_invert(nv, scratch_ref)
-    qMinv = scratch_ref[:]
-    a0 = mmul(qMinv, qfrc_smooth)  # qacc_smooth
+    a0 = mmul(scratch_ref, qfrc_smooth)  # qacc_smooth
 
     C = nell
     if nell:
@@ -221,7 +240,7 @@ def _cg_core(
         cost_c, force = cost_force(jar)
         gauss = 0.5 * jnp.sum((x - a0) * mxa, axis=0, keepdims=True)
         grad = mxa - jtmul(force)
-        mgrad = mmul(qMinv, grad)
+        mgrad = mmul(scratch_ref, grad)
         return force, cost_c + gauss, grad, mgrad
 
     x = a0
@@ -233,7 +252,7 @@ def _cg_core(
         # primal cost (strictly convex: same optimum, fewer iterations)
         ws = ws_ref[:]
         jar_w = jmul(ws) - aref
-        mxa_w = mmul(qM, ws - a0)
+        mxa_w = mmul(qM_ref, ws - a0)
         force_w, cost_w, grad_w, mgrad_w = eval_ctx(ws, jar_w, mxa_w)
         bet = jnp.where(cost_w < cost, 1.0, 0.0)  # (1, L)
         bV = jnp.broadcast_to(bet, x.shape)
@@ -251,7 +270,7 @@ def _cg_core(
     def cg_body(carry):
         x, jar, mxa, force, cost, grad, mgrad, p, done = carry
         jar_p = jmul(p)
-        mp = mmul(qM, p)
+        mp = mmul(qM_ref, p)
         pmp = jnp.sum(p * mp, axis=0, keepdims=True)
         gauss_p = jnp.sum(p * mxa, axis=0, keepdims=True)
 
@@ -497,16 +516,11 @@ def _cg_core(
     qvel = qvel_ref[:]
     qfrc_total = qfrc_smooth + qfrc_constraint
     if has_damping:
-        # (M + h diag(B))^-1: rebuild scratch, add the (static) damping
-        # diagonal, sweep again
-        i_idx = jax.lax.broadcasted_iota(jnp.int32, (qM.shape[0], qM.shape[1], 1), 0)
-        j_idx = jax.lax.broadcasted_iota(jnp.int32, (qM.shape[0], qM.shape[1], 1), 1)
-        eye = jnp.where(i_idx == j_idx, 1.0, 0.0)
-        damp = damp_ref[:]  # (Vp, L), already h * dof_damping
-        scratch_ref[:] = qM + eye * damp[:, None, :]
+        # (M + h diag(B))^-1: rebuild scratch from the qM ref with the
+        # (static) damping diagonal added chunk-by-chunk, sweep again
+        copy_qM_into_scratch(extra_diag=damp_ref[:])  # damp = h*dof_damping
         _sweep_invert(nv, scratch_ref)
-        mhinv = scratch_ref[:]
-        qvel_new_ref[:] = qvel + dt * mmul(mhinv, qfrc_total)
+        qvel_new_ref[:] = qvel + dt * mmul(scratch_ref, qfrc_total)
     else:
         qvel_new_ref[:] = qvel + dt * x
 
@@ -675,7 +689,9 @@ def cg_solve_batched(
         ],
         scratch_shapes=[pltpu.VMEM((Vp, Vp, LANE), dtype)],
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=int(120e6)),
+        # 128 MiB is the chip's full VMEM; the pair-scale kernel needs
+        # ~118 MiB of scoped stack (J/qM/sweep scratch + live vregs)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=int(128e6)),
     )(qMt, Jt, Dt, areft, existst, mut, sc1t, sc2t, econt, fst, qvt, dampt,
       wst)
     force = jnp.transpose(force_t, (1, 0))[:B, :nefc]
@@ -807,7 +823,7 @@ def _cg_fused_kernel(
     _cg_core(
         nv, nefc, iters, ls_iters, tol, minval, dt, has_damping, ell0, nell,
         has_warmstart, stall_tol, unroll_iters, unroll_ls,
-        qM_scr[:], J_scr, D_ref, aref_ref, exists_ref, mu_ref, sc1_ref,
+        qM_scr, J_scr, D_ref, aref_ref, exists_ref, mu_ref, sc1_ref,
         sc2_ref, econ_ref, qfrc_smooth_ref, qvel_ref, damp_ref, ws_ref,
         x_ref, force_ref, qfrc_ref, a0_ref, qvel_new_ref, done_ref,
         sweep_scr,
@@ -1018,7 +1034,9 @@ def cg_solve_fused(
             pltpu.VMEM((Vp, Vp, LANE), dtype),  # sweep
         ],
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=int(120e6)),
+        # 128 MiB is the chip's full VMEM; the pair-scale kernel needs
+        # ~118 MiB of scoped stack (J/qM/sweep scratch + live vregs)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=int(128e6)),
     )(
         ft, ct, Bmt, jst, mdT, szt, armt, Dt, areft, existst, mut, sc1t,
         sc2t, econt, fst, qvt, dampt, wst,

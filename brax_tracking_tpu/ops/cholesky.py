@@ -322,9 +322,26 @@ def sweep_invert_ref(nv: int, s_ref, block: int = _SUBLANE):
         RD = sum(Ai[:, j][:, None, :] * R[j][None] for j in range(block))
         # CA[:, i] = sum_j C[:, j] * Ai[j, i] -> C' A^-1
         CA = sum(C[:, j][:, None, :] * Ai[j][None, :, :] for j in range(block))
-        # --- Schur update of the whole tile in ONE pass ---
-        upd = sum(C[:, j][:, None, :] * RD[j][None] for j in range(block))
-        s_ref[:] = s_ref[:] - upd
+        # --- Schur update, row-chunked ---
+        # NOT one whole-tile pass: `s_ref[:] - upd` materializes two full
+        # (n, n, LANE) values (~12 MB each at rodent_pair's n=152), and
+        # with nv/8 unrolled passes the register allocator spills ~80 MB
+        # past the VMEM cap. Chunking bounds the live set to one
+        # (CHUNK, n, LANE) slab; per-element arithmetic is identical.
+        n_rows = s_ref.shape[0]
+        chunk = max(
+            _SUBLANE,
+            (3_000_000 // (s_ref.shape[1] * s_ref.shape[2] * 4))
+            // _SUBLANE
+            * _SUBLANE,
+        )
+        for off in range(0, n_rows, chunk):
+            m_ = min(chunk, n_rows - off)
+            Cc = jax.lax.slice_in_dim(C, off, off + m_, axis=0)
+            upd_c = sum(
+                Cc[:, j][:, None, :] * RD[j][None] for j in range(block)
+            )
+            s_ref[pl.ds(off, m_)] = s_ref[pl.ds(off, m_)] - upd_c
         s_ref[pl.ds(kb, block)] = RD
         s_ref[:, pl.ds(kb, block)] = -CA
         s_ref[pl.ds(kb, block), pl.ds(kb, block)] = Ai

@@ -714,7 +714,7 @@ def _solve_newton_fused(
 
             # Chunked restart: Mosaic cannot lower an in-kernel while on
             # large tiles, so the early exit lives at the XLA level — run
-            # the kernel in unrolled chunks of <=16 CG iterations, feed
+            # the kernel in unrolled chunks of <=8 CG iterations, feed
             # its qacc back in as the warmstart (the better-of-cost select
             # makes this an exact resume; CG direction restarts, which is
             # standard restarted-CG), and stop as soon as the kernel's
@@ -722,7 +722,14 @@ def _solve_newton_fused(
             # budget is spent. The LS budget is capped at 16 bracketed
             # Newton steps per iteration — in f32 the safeguarded Newton
             # on the piecewise-quadratic phi converges well inside that.
-            K = min(iters, 16)
+            # K=4: the kernel's scoped VMEM demand grows with the number
+            # of unrolled CG bodies (each body's live set + the rolled-LS
+            # loop boundary); at pair scale K=8 demands ~126 MiB against
+            # the chip's 128 MiB VMEM — K=4 leaves compile headroom, and
+            # the XLA-level done-flag restart loop keeps the average
+            # iteration count unchanged (warmstarted envs converge in a
+            # couple of chunks).
+            K = min(iters, 4)
             n_chunks = -(-iters // K)
 
             def chunk(x0):
