@@ -96,6 +96,9 @@ def _cg_kernel(
     qvel_new_ref,
     done_ref,
     scratch_ref,
+    tail_b_ref,
+    tail_y_ref,
+    tail_acc_ref,
 ):
     _cg_core(
         nv, nefc, iters, ls_iters, tol, minval, dt, has_damping, ell0, nell,
@@ -103,7 +106,7 @@ def _cg_kernel(
         qM_ref, J_ref, D_ref, aref_ref, exists_ref, mu_ref, sc1_ref,
         sc2_ref, econ_ref, qfrc_smooth_ref, qvel_ref, damp_ref, ws_ref,
         x_ref, force_ref, qfrc_ref, a0_ref, qvel_new_ref, done_ref,
-        scratch_ref,
+        scratch_ref, tail_b_ref, tail_y_ref, tail_acc_ref,
     )
 
 
@@ -115,6 +118,7 @@ def _cg_core(
     D_ref, aref_ref, exists_ref, mu_ref, sc1_ref, sc2_ref, econ_ref,
     qfrc_smooth_ref, qvel_ref, damp_ref, ws_ref,
     x_ref, force_ref, qfrc_ref, a0_ref, qvel_new_ref, done_ref, scratch_ref,
+    tail_b_ref, tail_y_ref, tail_acc_ref,
 ):
     # qM and M^-1 are only ever touched through refs, chunk-by-chunk: a
     # loaded (Vp, Vp, L) VALUE (~12 MB at pair scale) stays live across
@@ -517,10 +521,23 @@ def _cg_core(
     qfrc_total = qfrc_smooth + qfrc_constraint
     if has_damping:
         # (M + h diag(B))^-1: rebuild scratch from the qM ref with the
-        # (static) damping diagonal added chunk-by-chunk, sweep again
+        # (static) damping diagonal added chunk-by-chunk, then Cholesky
+        # factor + substitution for the single rhs: ~n^3/3 FLOPs instead
+        # of the sweep inverse's ~2n^3 + the n^2 mmul (the tail was ~half
+        # the kernel's FLOPs; profile_rodent.json). The padded diagonal is
+        # identity (wrapper) + 0 damp, so all Vp elimination steps are
+        # exact no-ops past nv.
+        from brax_tracking_tpu.ops.cholesky import (
+            _factor_ref_blocked,
+            _solve_ref,
+        )
+
         copy_qM_into_scratch(extra_diag=damp_ref[:])  # damp = h*dof_damping
-        _sweep_invert(nv, scratch_ref)
-        qvel_new_ref[:] = qvel + dt * mmul(scratch_ref, qfrc_total)
+        _factor_ref_blocked(Vp, scratch_ref)
+        tail_b_ref[:] = qfrc_total
+        _solve_ref(nv, scratch_ref, tail_b_ref, qvel_new_ref, tail_y_ref,
+                   tail_acc_ref)
+        qvel_new_ref[:] = qvel + dt * qvel_new_ref[:]
     else:
         qvel_new_ref[:] = qvel + dt * x
 
@@ -687,7 +704,12 @@ def cg_solve_batched(
             jax.ShapeDtypeStruct((Vp, Bp), dtype),
             jax.ShapeDtypeStruct((_SUBLANE, Bp), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((Vp, Vp, LANE), dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((Vp, Vp, LANE), dtype),
+            pltpu.VMEM((Vp, LANE), dtype),  # tail_b
+            pltpu.VMEM((Vp, LANE), dtype),  # tail_y
+            pltpu.VMEM((Vp, LANE), dtype),  # tail_acc
+        ],
         interpret=interpret,
         # 128 MiB is the chip's full VMEM; the pair-scale kernel needs
         # ~118 MiB of scoped stack (J/qM/sweep scratch + live vregs)
@@ -813,7 +835,7 @@ def _cg_fused_kernel(
     D_ref, aref_ref, exists_ref, mu_ref, sc1_ref, sc2_ref, econ_ref,
     qfrc_smooth_ref, qvel_ref, damp_ref, ws_ref,
     x_ref, force_ref, qfrc_ref, a0_ref, qvel_new_ref, done_ref,
-    J_scr, qM_scr, sweep_scr,
+    J_scr, qM_scr, sweep_scr, tail_b_ref, tail_y_ref, tail_acc_ref,
 ):
     _assemble_qM_J(
         nv, nroots, root_bounds, md_groups, limit_writes,
@@ -826,7 +848,7 @@ def _cg_fused_kernel(
         qM_scr, J_scr, D_ref, aref_ref, exists_ref, mu_ref, sc1_ref,
         sc2_ref, econ_ref, qfrc_smooth_ref, qvel_ref, damp_ref, ws_ref,
         x_ref, force_ref, qfrc_ref, a0_ref, qvel_new_ref, done_ref,
-        sweep_scr,
+        sweep_scr, tail_b_ref, tail_y_ref, tail_acc_ref,
     )
 
 
@@ -1032,6 +1054,9 @@ def cg_solve_fused(
             pltpu.VMEM((Rp, Vp, LANE), dtype),  # J
             pltpu.VMEM((Vp, Vp, LANE), dtype),  # qM
             pltpu.VMEM((Vp, Vp, LANE), dtype),  # sweep
+            pltpu.VMEM((Vp, LANE), dtype),  # tail_b
+            pltpu.VMEM((Vp, LANE), dtype),  # tail_y
+            pltpu.VMEM((Vp, LANE), dtype),  # tail_acc
         ],
         interpret=interpret,
         # 128 MiB is the chip's full VMEM; the pair-scale kernel needs
