@@ -34,8 +34,8 @@ import optax
 from flax import struct
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from brax_tracking_tpu.agents.ppo import losses as ppo_losses
-from brax_tracking_tpu.agents.ppo import networks as ppo_networks
+from brax_tracking_tpu.agents.ppo import losses as losses_lib
+from brax_tracking_tpu.agents.ppo import networks as networks_lib
 from brax_tracking_tpu.distributed import mesh as dmesh
 from brax_tracking_tpu.distributed.mesh import shard_map_compat
 from brax_tracking_tpu.envs import wrappers
@@ -52,7 +52,7 @@ class TrainingState:
     """Learner state (custom_ppo.py:41-48 parity + restorable env_steps)."""
 
     optimizer_state: optax.OptState
-    params: ppo_losses.PPONetworkParams
+    params: losses_lib.PPONetworkParams
     normalizer_params: running_statistics.RunningStatisticsState
     env_steps: jax.Array
 
@@ -93,7 +93,7 @@ def train(
     # --- plumbing ---------------------------------------------------------
     seed: int = 0,
     max_devices_per_host: Optional[int] = None,
-    network_factory: Callable = ppo_networks.make_ppo_networks,
+    network_factory: Callable = networks_lib.make_ppo_networks,
     progress_fn: Callable[[int, Metrics], None] = lambda *args: None,
     policy_params_fn: Callable[..., None] = lambda *args: None,
     randomization_fn: Optional[Callable] = None,
@@ -188,19 +188,19 @@ def train(
     ppo_network = network_factory(
         obs_size, env.action_size, preprocess_observations_fn=preprocess
     )
-    make_policy = ppo_networks.make_inference_fn(ppo_network)
+    make_policy = networks_lib.make_inference_fn(ppo_network)
     optimizer = optax.adam(learning_rate=learning_rate)
 
-    loss_hparams = dict(
-        ppo_network=ppo_network,
-        entropy_cost=entropy_cost,
-        discounting=discounting,
-        reward_scaling=reward_scaling,
-        gae_lambda=gae_lambda,
-        clipping_epsilon=clipping_epsilon,
-        normalize_advantage=normalize_advantage,
-    )
-    loss_fn = functools.partial(ppo_losses.compute_ppo_loss, **loss_hparams)
+    loss_hparams = {
+        "ppo_network": ppo_network,
+        "entropy_cost": entropy_cost,
+        "discounting": discounting,
+        "reward_scaling": reward_scaling,
+        "gae_lambda": gae_lambda,
+        "clipping_epsilon": clipping_epsilon,
+        "normalize_advantage": normalize_advantage,
+    }
+    loss_fn = functools.partial(losses_lib.compute_ppo_loss, **loss_hparams)
     update_params = gradients.gradient_update_fn(
         loss_fn, optimizer, pmap_axis_name=axis, has_aux=True
     )
@@ -416,7 +416,7 @@ def train(
         return training_state, env_state, metrics
 
     # --- init learner state ----------------------------------------------
-    init_params = ppo_losses.PPONetworkParams(
+    init_params = losses_lib.PPONetworkParams(
         policy=ppo_network.policy_network.init(policy_rng),
         value=ppo_network.value_network.init(value_rng),
     )
@@ -471,10 +471,10 @@ def train(
     evaluator = acting.Evaluator(
         wrap_for_training(eval_base, randomization_fn=v_randomization_fn),
         functools.partial(make_policy, deterministic=deterministic_eval),
-        num_eval_envs=num_eval_envs,
-        episode_length=episode_length,
-        action_repeat=action_repeat,
         key=eval_rng,
+        action_repeat=action_repeat,
+        episode_length=episode_length,
+        num_eval_envs=num_eval_envs,
     )
 
     metrics = {}
