@@ -12,17 +12,18 @@ cd "$(dirname "$0")/.."
 # Two fresh pytest processes (memory headroom on the 1-core host), each
 # with one self-healing retry: a crashed/killed process can leave a
 # truncated jax compile-cache entry, and both reading and rewriting such
-# an entry SEGFAULTS inside jax's compilation_cache — wiping the cache
-# and retrying once recovers (slower: cold compiles).
+# (historical: some jaxlibs segfaulted reading truncated cache entries;
+# the current one warns + recompiles — tests/test_cache_guard.py. The
+# wipe-and-retry below is kept as a last-resort recovery for genuine
+# crashes only, rc>=128.)
 run_pytest() {
   local label="$1"; shift
   echo "== pytest ($label) =="
   local rc=0
   python -m pytest "$@" || rc=$?
   if [ "$rc" -ge 128 ]; then
-    # crashed (SIGSEGV=139/SIGABRT=134): a killed/crashed process leaves
-    # truncated jax compile-cache entries, and reading OR rewriting one
-    # crashes again — wipe the cache and retry once (cold compiles)
+    # crashed (SIGSEGV=139/SIGABRT=134): whatever poisoned the run may
+    # live in cached state — wipe the cache and retry once (cold compiles)
     echo "== pytest ($label) crashed (rc=$rc): wiping jax compile cache, retrying once =="
     rm -rf /tmp/btt_jax_cache
     python -m pytest "$@"
