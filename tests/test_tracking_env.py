@@ -136,3 +136,38 @@ def test_obs_window_matches_dynamic_slice(minirat):
 
 def _reset_data(env):
     return jax.jit(env.reset)(jax.random.PRNGKey(0)).pipeline_state
+
+
+def test_multiclip_reset_to_clip(minirat):
+    """reset_to_clip pins the requested clip (the driver's per-clip eval
+    entry point, harness/driver._compile_clip_eval)."""
+    model, _ = minirat
+    T = 64
+    clips = []
+    for k in range(3):
+        qpos = np.tile(np.asarray(model.qpos0, np.float64), (T, 1))
+        qpos[:, 2] += 0.005
+        qpos[:, 0] += np.linspace(0.0, 0.02 * (k + 1), T)
+        clips.append(C.process_clip(model, jnp.asarray(qpos, jnp.float32)))
+    env = GenericMultiClip(
+        reference_clip=C.stack_clips(clips),
+        mjcf_path="builtin:minirat.xml",
+        center_of_mass="torso",
+        end_eff_names=["leg_FL", "leg_FR", "leg_BL", "leg_BR"],
+        body_names=["torso", "leg_FL", "leg_FR"],
+        joint_names=["hip_FL", "hip_FR", "hip_BL", "hip_BR"],
+        healthy_z_range=(0.02, 0.5),
+        start_frame_range=(0, 8),
+    )
+    reset_to = jax.jit(env.reset_to_clip)
+    for j in range(3):
+        s = reset_to(j, jax.random.PRNGKey(7))
+        assert int(s.info["clip_idx"]) == j
+        assert np.isfinite(float(s.reward))
+    # batched, mixed clip indices (the driver runs 32 envs pinned per clip)
+    idx = jnp.asarray([0, 2, 1, 2])
+    keys = jax.random.split(jax.random.PRNGKey(1), 4)
+    bs = jax.jit(jax.vmap(env.reset_to_clip))(idx, keys)
+    np.testing.assert_array_equal(np.asarray(bs.info["clip_idx"]), np.asarray(idx))
+    bs2 = jax.jit(jax.vmap(env.step))(bs, jnp.zeros((4, env.action_size)))
+    np.testing.assert_array_equal(np.asarray(bs2.info["clip_idx"]), np.asarray(idx))
