@@ -214,8 +214,8 @@ def main():
         mp = d.qM @ p
         ctx = S._Ctx(d.qacc_smooth, jar, jnp.zeros(m.nv, dtype), force,
                      cost, grad, grad)
-        return S._linesearch(m, meta, layout, friction, exists_row,
-                             exists_con, ctx, p, jar_p, mp, d)
+        return S._linesearch(m, meta, friction, exists_row,
+                             exists_con, ctx, p, jar_p, mp, d.efc_D)
 
     ls_b = jax.jit(jax.vmap(ls_one))
     t_l, _ = timeit(ls_b, dpre, jar0)
